@@ -1,0 +1,320 @@
+"""Frozen op configurations + legality validation ("init_conf" layer).
+
+Reference parity: the ``jit_*_conf_t`` structs (``src/jit_call_conf.h:35-99``)
+computed/validated by ``init_conf`` (``src/jit_concat_kernel.cc:130-197``,
+``src/op_conv.cc:263-365``, ``src/jit_conv_kernel.cc:512-673``). The reference
+returns ``false``/exits on an illegal config; here validation raises
+``CheckError`` before any compilation (same fail-fast contract).
+
+TPU re-design notes: the reference's blocking parameters (``ic_block=16``,
+``ur_w``, ``nb_oc_blocking``) are x86 register-budget decisions; the TPU
+equivalents are lane padding (channels → multiples of the 128-lane vector
+width where profitable) and the Pallas grid row-tile, chosen here.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .types import dtype, round_mode
+from .utils.logger import CheckError, check, check_eq
+from .utils.mathutil import conv_output_size, div_up, one_of, pool_output_size
+
+# TPU hardware constants (v5e-class): MXU is 128x128, vector lanes = 128,
+# int8 sublane packing = 32. Analogue of the reference's
+# `mayiuse(avx512_core_vnni)` capability probe (src/jit_generator.h:45-117).
+LANES = 128
+INT8_SUBLANES = 32
+
+
+def device_capabilities():
+    """Probe the runtime device, analogue of `mayiuse` CPUID checks."""
+    import jax
+
+    dev = jax.devices()[0]
+    return {
+        "platform": dev.platform,
+        "device_kind": getattr(dev, "device_kind", "unknown"),
+        "num_devices": len(jax.devices()),
+        "lanes": LANES,
+        "int8_native": dev.platform == "tpu",
+    }
+
+
+@dataclasses.dataclass(frozen=True)
+class ConcatConfig:
+    """Concat(+ReLU) config (reference: ``jit_concat_conf_t``,
+    ``src/jit_call_conf.h:35-46`` and ``init_conf`` at
+    ``src/jit_concat_kernel.cc:130-197``)."""
+
+    n_inputs: int
+    bs: int
+    h: int
+    w: int
+    oc: int  # total output channels
+    ics: Tuple[int, ...]  # per-input channels
+    dt: dtype
+    with_relu: bool
+    block: int  # channel block all inputs divide into (legality relic)
+
+    @staticmethod
+    def make(src_shapes, dt, with_relu: bool) -> "ConcatConfig":
+        """Validate and build. src_shapes: list of NHWC tuples."""
+        dt = dtype.from_any(dt)
+        check(len(src_shapes) >= 1, "concat needs at least one input")
+        if not one_of(dt.size, 1, 4):
+            raise CheckError(f"concat supports u8/s8/s32/f32 only, got {dt}")
+        n0, h0, w0 = src_shapes[0][0], src_shapes[0][1], src_shapes[0][2]
+        ics = []
+        for s in src_shapes:
+            check_eq(len(s), 4, "concat inputs must be NHWC")
+            check_eq((s[0], s[1], s[2]), (n0, h0, w0),
+                     "concat inputs must share batch/spatial dims")
+            ics.append(s[3])
+        # reference channel-block legality (src/jit_concat_kernel.cc:155-196):
+        # 1-byte dtypes need {64,32,16}-divisible channels, 4-byte need
+        # {16,8,4}. We keep the *check* for API parity; on TPU any block works
+        # but accepting illegal-in-reference shapes would diverge the API.
+        blocks = (64, 32, 16) if dt.size == 1 else (16, 8, 4)
+        block = 0
+        for b in blocks:
+            if all(ic % b == 0 for ic in ics):
+                block = b
+                break
+        if block == 0:
+            raise CheckError(
+                f"concat channels {ics} not divisible by any of {blocks} "
+                f"(reference legality, src/jit_concat_kernel.cc:155-196)")
+        return ConcatConfig(
+            n_inputs=len(src_shapes), bs=n0, h=h0, w=w0, oc=sum(ics),
+            ics=tuple(ics), dt=dt, with_relu=with_relu, block=block)
+
+
+def _as_scale_tuple(scales, n_oc: int, what: str) -> Tuple[float, ...]:
+    arr = np.asarray(scales, dtype=np.float32).reshape(-1)
+    if not one_of(arr.size, 1, n_oc):
+        raise CheckError(
+            f"{what} scales length must be 1 or {n_oc}, got {arr.size} "
+            f"(reference: src/op_conv.cc:320,342-344)")
+    return tuple(float(x) for x in arr)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvConfig:
+    """Conv3x3(+ReLU)(+conv1x1+ReLU) config.
+
+    Mirrors ``jit_conv_conf_t`` (``src/jit_call_conf.h:48-99``) + the
+    validation in ``op_conv::init_conf`` (``src/op_conv.cc:263-365``) and
+    ``jit_conv_kernel::init_conf`` (``src/jit_conv_kernel.cc:512-673``).
+    """
+
+    bs: int
+    gp: int  # groups; validated == 1 like the reference (src/op_conv.cc:348)
+    ic: int
+    ih: int
+    iw: int
+    oc: int
+    oh: int
+    ow: int
+    kh: int
+    kw: int
+    ph: int
+    pw: int
+    sh: int
+    sw: int
+    src_dt: dtype
+    wei_dt: dtype
+    bia_dt: Optional[dtype]
+    dst_dt: dtype
+    conv0_relu: bool
+    conv0_scales: Tuple[float, ...]
+    conv0_round: round_mode
+    # fused 1x1 stage (None-equivalents when not fused)
+    fuse_conv1x1: bool = False
+    oc1x1: int = 0
+    bia1x1_dt: Optional[dtype] = None
+    conv1_relu: bool = False
+    conv1_scales: Tuple[float, ...] = (1.0,)
+    conv1_round: round_mode = round_mode.nearest
+    # --- TPU lowering parameters (x86 analogue: ur_w / nb_*_blocking) ---
+    icp: int = 0      # ic padded for packing
+    ocp: int = 0      # oc padded (lane multiple)
+    oc1x1p: int = 0
+    row_tile: int = 0  # output rows per Pallas program
+
+    @property
+    def conv0_with_bias(self) -> bool:
+        return self.bia_dt is not None
+
+    @property
+    def conv1_with_bias(self) -> bool:
+        return self.bia1x1_dt is not None
+
+    @property
+    def conv0_multi_oc_scale(self) -> bool:
+        return len(self.conv0_scales) > 1
+
+    @property
+    def conv1_multi_oc_scale(self) -> bool:
+        return len(self.conv1_scales) > 1
+
+    @staticmethod
+    def make(src_shape, wei_shape, bia_dt, stride, padding, dst_shape, dst_dt,
+             *, src_dt=dtype.u8, wei_dt=dtype.s8,
+             conv0_relu=False, conv0_scales=(1.0,),
+             conv0_round=round_mode.nearest,
+             wei1x1_shape=None, bia1x1_dt=None,
+             conv1_relu=False, conv1_scales=(1.0,),
+             conv1_round=round_mode.nearest,
+             groups=1, row_tile=None) -> "ConvConfig":
+        """Validate and build; shapes are NHWC (src/dst) and OIHW (weights)."""
+        src_dt = dtype.from_any(src_dt)
+        wei_dt = dtype.from_any(wei_dt)
+        dst_dt = dtype.from_any(dst_dt)
+        bia_dt = dtype.from_any(bia_dt) if bia_dt is not None else None
+        bia1x1_dt = dtype.from_any(bia1x1_dt) if bia1x1_dt is not None else None
+        conv0_round = round_mode.from_any(conv0_round)
+        conv1_round = round_mode.from_any(conv1_round)
+
+        # fixed input types (reference: src/op_conv.h:28-31)
+        check_eq(src_dt, dtype.u8, "conv src must be u8")
+        check_eq(wei_dt, dtype.s8, "conv weights must be s8")
+        check_eq(groups, 1, "only groups==1 verified (src/op_conv.cc:348)")
+
+        n, ih, iw, ic = src_shape
+        oc, wic, kh, kw = wei_shape
+        dn, oh, ow, doc = dst_shape
+        sh, sw = stride
+        ph, pw = padding
+        check_eq(n, dn, "batch size must match (src/op_conv.cc:300-303)")
+        check_eq(ic, wic, "input channels must match (src/op_conv.cc:305-308)")
+        for name, i, k, s, p, o in (("h", ih, kh, sh, ph, oh),
+                                    ("w", iw, kw, sw, pw, ow)):
+            expect = conv_output_size(i, k, s, p)
+            if o != expect:
+                raise CheckError(
+                    f"output {name} size mismatch: got {o}, expected {expect} "
+                    f"(src/op_conv.cc:291-298)")
+        check(ph < kh and pw < kw, "padding must be < kernel")
+
+        fuse = wei1x1_shape is not None
+        if not fuse:
+            check_eq(doc, oc, "output channels must match (src/op_conv.cc:312)")
+            conv0_scales = _as_scale_tuple(conv0_scales, oc, "conv0")
+            oc1x1 = 0
+        else:
+            oc1x1, wic1, k1h, k1w = wei1x1_shape
+            check_eq(wic1, oc, "conv0 oc must equal conv1x1 ic "
+                               "(src/op_conv.cc:326-329)")
+            check_eq((k1h, k1w), (1, 1), "fused conv must be 1x1 "
+                                         "(src/op_conv.cc:334-337)")
+            check_eq(doc, oc1x1, "dst channels must equal oc1x1 "
+                                 "(src/op_conv.cc:330-333)")
+            conv0_scales = _as_scale_tuple(conv0_scales, oc, "conv0")
+            conv1_scales = _as_scale_tuple(conv1_scales, oc1x1, "conv1")
+
+        # --- TPU lowering choices ---
+        icp = max(div_up(ic, INT8_SUBLANES) * INT8_SUBLANES, INT8_SUBLANES)
+        ocp = max(div_up(oc, LANES) * LANES, LANES)
+        oc1x1p = max(div_up(oc1x1, LANES) * LANES, LANES) if fuse else 0
+        if row_tile is None:
+            row_tile = _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p)
+
+        return ConvConfig(
+            bs=n, gp=groups, ic=ic, ih=ih, iw=iw, oc=oc, oh=oh, ow=ow,
+            kh=kh, kw=kw, ph=ph, pw=pw, sh=sh, sw=sw,
+            src_dt=src_dt, wei_dt=wei_dt, bia_dt=bia_dt, dst_dt=dst_dt,
+            conv0_relu=conv0_relu, conv0_scales=conv0_scales,
+            conv0_round=conv0_round,
+            fuse_conv1x1=fuse, oc1x1=oc1x1, bia1x1_dt=bia1x1_dt,
+            conv1_relu=conv1_relu, conv1_scales=tuple(conv1_scales),
+            conv1_round=conv1_round,
+            icp=icp, ocp=ocp, oc1x1p=oc1x1p, row_tile=row_tile)
+
+
+def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
+                   vmem_budget=8 * 1024 * 1024) -> int:
+    """Choose output rows per grid step so the working set fits VMEM.
+
+    The analogue of the reference's ur_w / workspace sizing
+    (src/jit_conv_kernel.cc:643-661): we want M = row_tile*ow >= 256 to keep
+    the MXU busy, under a VMEM budget for src block + im2col patch + acc.
+    """
+    k_dim = kh * kw * icp
+    best = 1
+    for t in range(1, oh + 1):
+        m = t * ow
+        src_bytes = (t * sh + kh) * iw * icp  # int8
+        patch_bytes = m * k_dim               # int8
+        acc_bytes = m * ocp * 4
+        acc1_bytes = m * oc1x1p * 4 if oc1x1p else 0
+        wei_bytes = k_dim * ocp + ocp * (oc1x1p or 0)
+        total = src_bytes + patch_bytes + acc_bytes + acc1_bytes + wei_bytes
+        if total > vmem_budget:
+            break
+        best = t
+        if m >= 512:  # enough rows to fill MXU pipelines
+            break
+    # prefer a tile that divides oh evenly to avoid a ragged tail program
+    for t in range(best, 0, -1):
+        if oh % t == 0:
+            return t
+    return best
+
+
+def replace_geometry(cfg: ConvConfig, **kw) -> ConvConfig:
+    """dataclasses.replace that re-picks row_tile for the new geometry
+    (row_tile must always divide oh)."""
+    new = dataclasses.replace(cfg, **kw)
+    if new.oh % new.row_tile != 0 or "oh" in kw:
+        rt = _pick_row_tile(new.oh, new.ow, new.kh, new.kw, new.sh, new.iw,
+                            new.icp, new.ocp, new.oc1x1p)
+        new = dataclasses.replace(new, row_tile=rt)
+    return new
+
+
+@dataclasses.dataclass(frozen=True)
+class PoolConfig:
+    """Pooling stage config for the conv+relu+pool fused op.
+
+    Spec source: the reference's roadmap op (README.md:64-65) with intended
+    semantics documented in test/test_conv_relu_pooling.cc:313-391 (MKL-DNN
+    max / avg-include-pad / avg-exclude-pad pooling).
+    """
+
+    kind: str  # 'max' | 'avg_inc' | 'avg_exc'
+    kh: int
+    kw: int
+    ph: int
+    pw: int
+    sh: int
+    sw: int
+    ih: int  # pool input spatial == conv output spatial
+    iw: int
+    oh: int
+    ow: int
+    # bottom/right padding including the ceil-mode overhang: the last window
+    # may extend past ih + 2*ph (pool_output_size rounds up,
+    # util/math_func.cc:26-28); overhang taps are padding.
+    pb: int = 0
+    pr: int = 0
+    round: round_mode = round_mode.nearest
+
+    @staticmethod
+    def make(kind, in_hw, kernel, stride, padding,
+             round=round_mode.nearest) -> "PoolConfig":
+        check(kind in ("max", "avg_inc", "avg_exc"),
+              f"unknown pooling kind {kind}")
+        ih, iw = in_hw
+        kh, kw = kernel
+        sh, sw = stride
+        ph, pw = padding
+        oh = pool_output_size(ih, kh, sh, ph)
+        ow = pool_output_size(iw, kw, sw, pw)
+        pb = max(ph, (oh - 1) * sh + kh - ih - ph)
+        pr = max(pw, (ow - 1) * sw + kw - iw - pw)
+        return PoolConfig(kind=kind, kh=kh, kw=kw, ph=ph, pw=pw, sh=sh, sw=sw,
+                          ih=ih, iw=iw, oh=oh, ow=ow, pb=pb, pr=pr,
+                          round=round_mode.from_any(round))

@@ -1,0 +1,128 @@
+"""FusionNet — flagship INT8 inference model built from the fused primitives.
+
+The reference ships no models (SURVEY.md §2), but its ops are designed for
+exactly this composition (README.md:64-65 roadmap + the VGG/ResNet shapes in
+test/test_conv_relu_pooling.cc:313-391). FusionNet exercises every public
+op: fused conv3x3+relu+conv1x1+relu blocks, concat+relu branch merge,
+eltwise-sum+relu residual, conv+relu+maxpool downsampling, global average
+pooling, and an f32 classification head — all INT8 end to end, activations
+u8, weights s8, per-channel scales.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ConvConfig
+from ..ops.conv import ConvOp
+from ..ops.concat import concat
+from ..ops.pool import eltwise_sum_relu, pool
+from ..utils.mathutil import conv_output_size
+
+
+def _mkconv(rng, n, ih, iw, ic, oc, k, pad, stride, dst_dt, *,
+            oc1x1=None, relu=True, in_std=30.0):
+    """Build a ConvOp with random int8 weights and analytically calibrated
+    scales: scale ~ 48 / std(acc) keeps u8 activations alive (neither
+    saturated nor rounded to zero) through arbitrarily deep stacks."""
+    wei = rng.integers(-16, 17, (oc, ic, k, k)).astype(np.int8)
+    wei_std = 16.0 / np.sqrt(3.0)
+    acc_std = np.sqrt(k * k * ic) * in_std * wei_std
+    bia = rng.integers(-int(acc_std * 0.05) - 1, int(acc_std * 0.05) + 2,
+                       (oc,)).astype(np.int32)
+    sc0 = (rng.uniform(0.8, 1.2, oc).astype(np.float32)
+           * np.float32(48.0 / acc_std))
+    oh = conv_output_size(ih, k, stride, pad)
+    ow = conv_output_size(iw, k, stride, pad)
+    if oc1x1 is None:
+        cfg = ConvConfig.make(
+            (n, ih, iw, ic), (oc, ic, k, k), bia.dtype, (stride, stride),
+            (pad, pad), (n, oh, ow, oc), dst_dt,
+            conv0_relu=relu, conv0_scales=sc0)
+        return ConvOp(cfg, wei, bia), (n, oh, ow, oc)
+    wei1 = rng.integers(-16, 17, (oc1x1, oc, 1, 1)).astype(np.int8)
+    acc1_std = np.sqrt(oc) * 30.0 * wei_std
+    bia1 = rng.integers(-int(acc1_std * 0.05) - 1, int(acc1_std * 0.05) + 2,
+                        (oc1x1,)).astype(np.int32)
+    sc1 = (rng.uniform(0.8, 1.2, oc1x1).astype(np.float32)
+           * np.float32(48.0 / acc1_std))
+    cfg = ConvConfig.make(
+        (n, ih, iw, ic), (oc, ic, k, k), bia.dtype, (stride, stride),
+        (pad, pad), (n, oh, ow, oc1x1), dst_dt,
+        conv0_relu=True, conv0_scales=sc0,
+        wei1x1_shape=(oc1x1, oc, 1, 1), bia1x1_dt=bia1.dtype,
+        conv1_relu=relu, conv1_scales=sc1)
+    return ConvOp(cfg, wei, bia, wei1, bia1), (n, oh, ow, oc1x1)
+
+
+@dataclasses.dataclass
+class FusionNetConfig:
+    batch: int = 8
+    hw: int = 56
+    in_ch: int = 32
+    width: int = 128
+    num_classes: int = 128
+    seed: int = 0
+
+
+class FusionNet:
+    """INT8 CNN: stem -> fused block -> branch concat -> residual ->
+    downsample -> fused block -> global pool -> f32 head."""
+
+    def __init__(self, cfg: FusionNetConfig = FusionNetConfig()):
+        self.cfg = cfg
+        rng = np.random.default_rng(cfg.seed)
+        n, hw, c, w = cfg.batch, cfg.hw, cfg.in_ch, cfg.width
+
+        # stem: conv3x3 (c -> w) + relu, u8 out; raw u8 input has std ~74
+        self.stem, s = _mkconv(rng, n, hw, hw, c, w, 3, 1, 1, "u8",
+                               in_std=74.0)
+        # block1: deep-fused conv3x3+relu+conv1x1+relu (w -> w -> w)
+        self.block1, s = _mkconv(rng, n, s[1], s[2], w, w, 3, 1, 1, "u8",
+                                 oc1x1=w)
+        # branch: 1x1 conv (w -> w) on the same input, concat along channels
+        self.branch, _ = _mkconv(rng, n, s[1], s[2], w, w, 1, 0, 1, "u8")
+        # fuse branches: concat+relu -> 2w channels
+        # residual: 1x1 conv (2w -> 2w) summed with identity via
+        # eltwise-sum+relu
+        self.res, s2 = _mkconv(rng, n, s[1], s[2], 2 * w, 2 * w, 1, 0, 1,
+                               "u8")
+        # downsample: maxpool 2x2/s2
+        hw2 = s[1] // 2
+        # block2: fused (2w -> 2w -> w)
+        self.block2, s3 = _mkconv(rng, n, hw2, hw2, 2 * w, 2 * w, 3, 1, 1,
+                                  "u8", oc1x1=w)
+        # head: global avg pool (exclude pad) then 1x1 conv to f32 logits
+        self.head, _ = _mkconv(rng, n, 1, 1, w, cfg.num_classes, 1, 0, 1,
+                               "f32", relu=False)
+        self._stem_in_shape = (n, hw, hw, c)
+
+    @property
+    def input_shape(self):
+        return self._stem_in_shape
+
+    def example_input(self, rng: Optional[np.random.Generator] = None):
+        rng = rng or np.random.default_rng(42)
+        return rng.integers(0, 256, self._stem_in_shape, dtype=np.uint8)
+
+    def __call__(self, x_u8):
+        x = self.stem(x_u8)                        # (n, hw, hw, w) u8
+        a = self.block1(x)                          # fused 3x3+1x1
+        b = self.branch(x)                          # 1x1 branch
+        y = concat([a, b], post_relu=True)          # (n, hw, hw, 2w)
+        r = self.res(y)                             # 1x1 on merged
+        y = eltwise_sum_relu(y, r)                  # residual + relu
+        y = pool(y, "max", (2, 2), (2, 2), (0, 0))  # downsample
+        y = self.block2(y)                          # fused 3x3+1x1 -> w
+        y = pool(y, "avg_exc",
+                 (y.shape[1], y.shape[2]),
+                 (y.shape[1], y.shape[2]), (0, 0))  # global avg -> (n,1,1,w)
+        logits = self.head(y)                       # (n,1,1,classes) f32
+        return logits.reshape(logits.shape[0], -1)
+
+    def jit(self):
+        return jax.jit(self.__call__)

@@ -1,0 +1,135 @@
+"""ctypes bindings for the native host runtime (libdfruntime.so).
+
+Builds lazily with the adjacent Makefile on first use; every entry point
+has a numpy fallback (deepfusion_tpu.ops.layout) so the package works
+without a toolchain. ``native_available()`` reports which path is active.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+from ..utils.logger import info, warning
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_HERE, "libdfruntime.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(["make", "-s", "-C", _HERE], check=True,
+                       capture_output=True, timeout=120)
+        return True
+    except Exception as e:  # pragma: no cover
+        warning("native runtime build failed (%s); using numpy fallback", e)
+        return False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_LIB_PATH) and not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError as e:  # pragma: no cover
+            warning("native runtime load failed: %s", e)
+            return None
+        i64, i32p, i8p, u8p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                               ctypes.POINTER(ctypes.c_int8),
+                               ctypes.POINTER(ctypes.c_uint8))
+        lib.df_pack_conv_weights.argtypes = [i8p] + [i64] * 6 + [i8p]
+        lib.df_pack_1x1_weights.argtypes = [i8p] + [i64] * 4 + [i8p]
+        lib.df_u8_shift_correction.argtypes = [i8p, i64, i64, i32p]
+        lib.df_prep_src.argtypes = [u8p] + [i64] * 7 + [i8p]
+        lib.df_balance211.argtypes = [i64, i64, i64,
+                                      ctypes.POINTER(ctypes.c_int64),
+                                      ctypes.POINTER(ctypes.c_int64)]
+        lib.df_runtime_version.restype = ctypes.c_int
+        _lib = lib
+        info("native runtime loaded (version %d)", lib.df_runtime_version())
+        return _lib
+
+
+def native_available() -> bool:
+    return _load() is not None
+
+
+def _i8p(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int8))
+
+
+def pack_conv_weights(wei_oihw: np.ndarray, icp: int, ocp: int) -> np.ndarray:
+    lib = _load()
+    wei = np.ascontiguousarray(wei_oihw, dtype=np.int8)
+    oc, ic, kh, kw = wei.shape
+    if lib is None:
+        from ..ops import layout
+        return layout.pack_conv_weights(wei, icp, ocp)
+    out = np.empty((kh * kw * icp, ocp), dtype=np.int8)
+    lib.df_pack_conv_weights(_i8p(wei), oc, ic, kh, kw, icp, ocp, _i8p(out))
+    return out
+
+
+def pack_1x1_weights(wei: np.ndarray, icp: int, ocp: int) -> np.ndarray:
+    lib = _load()
+    wei = np.ascontiguousarray(wei, dtype=np.int8)
+    oc1, ic = wei.shape[0], wei.shape[1]
+    if lib is None:
+        from ..ops import layout
+        return layout.pack_1x1_weights(wei, icp, ocp)
+    out = np.empty((icp, ocp), dtype=np.int8)
+    lib.df_pack_1x1_weights(_i8p(wei.reshape(oc1, ic)), oc1, ic, icp, ocp,
+                            _i8p(out))
+    return out
+
+
+def u8_shift_correction(packed: np.ndarray) -> np.ndarray:
+    lib = _load()
+    packed = np.ascontiguousarray(packed, dtype=np.int8)
+    if lib is None:
+        from ..ops import layout
+        return layout.u8_shift_correction(packed)
+    rows, cols = packed.shape
+    out = np.empty((cols,), dtype=np.int32)
+    lib.df_u8_shift_correction(
+        _i8p(packed), rows, cols,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    return out
+
+
+def prep_src(src_u8: np.ndarray, ph: int, pw: int, icp: int) -> np.ndarray:
+    """Host-side activation prep (pad + shift); the device path uses the
+    traced jnp version in ops.layout.prep_src instead."""
+    lib = _load()
+    src = np.ascontiguousarray(src_u8, dtype=np.uint8)
+    n, ih, iw, ic = src.shape
+    if lib is None:
+        out = np.full((n, ih + 2 * ph, iw + 2 * pw, icp), -128, np.int8)
+        out[:, ph:ph + ih, pw:pw + iw, :ic] = (
+            src.astype(np.int16) - 128).astype(np.int8)
+        return out
+    out = np.empty((n, ih + 2 * ph, iw + 2 * pw, icp), dtype=np.int8)
+    lib.df_prep_src(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                    n, ih, iw, ic, ph, pw, icp, _i8p(out))
+    return out
+
+
+def balance211(amount: int, team: int, member: int):
+    lib = _load()
+    if lib is None:
+        from ..utils.mathutil import balance211 as py
+        return py(amount, team, member)
+    s, e = ctypes.c_int64(), ctypes.c_int64()
+    lib.df_balance211(amount, team, member, ctypes.byref(s), ctypes.byref(e))
+    return s.value, e.value

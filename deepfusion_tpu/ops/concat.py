@@ -1,0 +1,95 @@
+"""Concat(+ReLU) Pallas kernel.
+
+TPU-native re-design of the reference's JIT concat
+(``src/jit_concat_kernel.cc:30-128`` + ``src/op_concat.cc:22-72``): the x86
+version parallelises over pixel positions with OpenMP and emits per-block
+vector load/relu/store; here each input is flattened to (rows, channels),
+the grid tiles rows, and every program copies its row-tile of *all* inputs
+into the right channel offsets of the output block — one fused
+read+relu+write pass over HBM, which is the bandwidth roofline for this op.
+
+ReLU semantics: true ReLU per dtype. The reference has two out-of-range
+quirks (s32 via 16-bit-lane max, u8 via signed-byte max,
+``src/jit_concat_kernel.cc:43-51``) that only diverge outside its tested
+value range; see ops/ref.py docstring.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ConcatConfig
+from ..utils import env
+
+# rows per grid program; int8 wants >=32 sublanes, f32 >=8.
+_ROW_TILE = 512
+
+
+def _relu(x):
+    if x.dtype == jnp.uint8:
+        return x  # true ReLU is the identity on unsigned values
+    if x.dtype == jnp.int8:
+        # Mosaic has no 8-bit integer max (arith.maxsi on vector<..xi8>
+        # fails to legalize); widen through i32 on the VPU.
+        return jnp.maximum(x.astype(jnp.int32), 0).astype(jnp.int8)
+    return jnp.maximum(x, jnp.zeros((), dtype=x.dtype))
+
+
+def _concat_kernel(*refs, offsets, with_relu):
+    *src_refs, out_ref = refs
+    for ref, off in zip(src_refs, offsets):
+        x = ref[...]
+        if with_relu:
+            x = _relu(x)
+        out_ref[:, off:off + x.shape[-1]] = x
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _concat_call(cfg: ConcatConfig, *srcs):
+    m = cfg.bs * cfg.h * cfg.w
+    flat = [s.reshape(m, s.shape[-1]) for s in srcs]
+    tile = min(_ROW_TILE, m)
+    grid = (pl.cdiv(m, tile),)
+    offsets = []
+    off = 0
+    for ic in cfg.ics:
+        offsets.append(off)
+        off += ic
+    out = pl.pallas_call(
+        functools.partial(_concat_kernel, offsets=tuple(offsets),
+                          with_relu=cfg.with_relu),
+        out_shape=jax.ShapeDtypeStruct((m, cfg.oc), cfg.dt.np),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, ic), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for ic in cfg.ics
+        ],
+        out_specs=pl.BlockSpec((tile, cfg.oc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=env.interpret_kernels(),
+    )(*flat)
+    return out.reshape(cfg.bs, cfg.h, cfg.w, cfg.oc)
+
+
+def concat(srcs: Sequence, post_relu: bool = False):
+    """Concatenate NHWC tensors along channels, optionally fused with ReLU.
+
+    Functional analogue of ``deepfusion::concat`` + ``op->submit()``
+    (``include/deepfusion.h:116-118``). All inputs must share dtype and
+    batch/spatial dims; channel counts must satisfy the reference's
+    block-divisibility rule (see ConcatConfig.make).
+    """
+    arrs = [jnp.asarray(s) for s in srcs]
+    cfg = ConcatConfig.make([tuple(a.shape) for a in arrs],
+                            arrs[0].dtype, post_relu)
+    for a in arrs:
+        if a.dtype != arrs[0].dtype:
+            raise ValueError("concat inputs must share dtype "
+                             "(src/jit_concat_kernel.cc:183-185)")
+    return _concat_call(cfg, *arrs)

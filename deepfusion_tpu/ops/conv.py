@@ -1,0 +1,269 @@
+"""Fused INT8 conv3x3(+ReLU)(+conv1x1+ReLU) Pallas kernel — the flagship op.
+
+TPU-native re-design of the reference's JIT conv
+(``src/jit_conv_kernel.cc`` + ``src/op_conv.cc``). Design mapping:
+
+* x86 register-resident 3x3->1x1 dataflow (the 3x3 result is requantized to
+  u8 *in zmm registers* and consumed by the 1x1 without touching memory,
+  ``src/jit_conv_kernel.cc:275-277``, ``:143-191``) -> **VMEM residency**:
+  one Pallas program computes the 3x3 s32 tile, requantizes, and feeds the
+  1x1 MXU matmul, all on-chip; only the final dst hits HBM.
+* ``vpdpbusd`` u8*s8 dot -> MXU int8 matmul via ``jnp.dot(..,
+  preferred_element_type=int32)``. The MXU path is s8 x s8, so u8 operands
+  are shifted by -128 with an exact per-channel int32 correction
+  (see ops/layout.py) — bit-identical to the u8 x s8 accumulation.
+* kh/kw/ic loops with ``OIhw4i16o4i`` packing -> **flattened-HW im2col**:
+  the padded image lives in VMEM as a (IHP*IWP, ICP) matrix, so each of the
+  kh*kw taps for a row tile is ONE contiguous 2-D slice (offset
+  (r+ki)*IWP + kj). Lane-concatenating the taps yields the
+  (rows*IWP, kh*kw*icp) patch that hits the MXU as a single big matmul —
+  no sublane reshapes (which Mosaic cannot lower). Out-of-row pixels
+  (columns >= ow) are computed and discarded by the caller's slice: the
+  waste factor is IWP/OW (~4% at ow=360, ~15% at ow=13), far cheaper than
+  padding OW to a sublane multiple.
+* runtime kh clipping at image borders (``src/op_conv.cc:102-104``) ->
+  zero-padded input (numerically identical; padding folds into the constant
+  -128 shift correction, plus one extra pad row so the last tap's flat
+  slice stays in bounds).
+* per-thread s32 workspaces ``ws_``/``acc1x1`` (``src/op_conv.h:73-79``) ->
+  none needed: each grid program's accumulators are MXU/VMEM values.
+
+Strided convs (sh or sw > 1) break the contiguous-slice property; they take
+a pure-XLA path with identical numerics (``_conv_xla``). The headline
+fused-conv shapes are all stride 1.
+
+Grid: (batch, oh/row_tile); the input image block index is constant across
+row tiles so Pallas DMAs it only once per batch element.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ConvConfig
+from ..types import dtype, round_mode
+from ..utils import env
+from . import layout
+from .requant import requant, requant_to_u8_centered
+
+
+def _flat_patch(src_ref, cfg: ConvConfig, t_idx):
+    """Build the (row_tile*iwp, kh*kw*icp) patch from the flat image.
+
+    src_ref block: (1, ihp*iwp, icp). Output pixel (r, c) tap (ki, kj)
+    reads flat index (r+ki)*iwp + (c+kj); for a row tile starting at r0,
+    tap (ki, kj) is the contiguous slice [ (r0+ki)*iwp + kj , +T*iwp ).
+    Requires sh == sw == 1.
+    """
+    T = cfg.row_tile
+    iwp = cfg.iw + 2 * cfg.pw
+    r0 = t_idx * T
+    taps = []
+    for ki in range(cfg.kh):
+        for kj in range(cfg.kw):
+            off = (r0 + ki) * iwp + kj
+            taps.append(src_ref[0, pl.ds(off, T * iwp), :])
+    return jnp.concatenate(taps, axis=-1)  # (T*iwp, kh*kw*icp)
+
+
+def _conv_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
+                 out_ref, *, cfg: ConvConfig):
+    patch = _flat_patch(src_ref, cfg, pl.program_id(1))
+    acc = jnp.dot(patch, w3_ref[...], preferred_element_type=jnp.int32)
+    acc = acc + corr0_ref[...]                     # exact u8-shift correction
+    res = requant(acc,
+                  bias0_ref[...] if cfg.conv0_with_bias else None,
+                  scale0_ref[...], cfg.conv0_relu, cfg.conv0_round,
+                  cfg.dst_dt)
+    out_ref[...] = res[None, :, :cfg.oc]
+
+
+def _conv_fused_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
+                       w1_ref, corr1_ref, bias1_ref, scale1_ref,
+                       out_ref, *, cfg: ConvConfig):
+    patch = _flat_patch(src_ref, cfg, pl.program_id(1))
+    acc = jnp.dot(patch, w3_ref[...], preferred_element_type=jnp.int32)
+    acc = acc + corr0_ref[...]
+    # 3x3 epilogue -> u8 intermediate, pre-shifted to s8 for the MXU.
+    # Stays in VMEM: the x86 register-residency property
+    # (jit_conv_kernel.cc:275-277) maps to "never leaves the chip".
+    x1 = requant_to_u8_centered(
+        acc, bias0_ref[...] if cfg.conv0_with_bias else None,
+        scale0_ref[...], cfg.conv0_round)          # (T*iwp, ocp) s8
+    acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
+    acc1 = acc1 + corr1_ref[...]
+    res = requant(acc1,
+                  bias1_ref[...] if cfg.conv1_with_bias else None,
+                  scale1_ref[...], cfg.conv1_relu, cfg.conv1_round,
+                  cfg.dst_dt)
+    out_ref[...] = res[None, :, :cfg.oc1x1]
+
+
+def _vec_spec(n):
+    return pl.BlockSpec((1, n), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
+                 w1, corr1, bias1, scale1):
+    """Stride-1 Pallas path over the flat (ihp*iwp, icp) image."""
+    n = srcp.shape[0]
+    ihp = cfg.ih + 2 * cfg.ph + 1  # +1 bounds row (see module docstring)
+    iwp = cfg.iw + 2 * cfg.pw
+    flat = srcp.reshape(n, ihp * iwp, cfg.icp)
+    k_dim = cfg.kh * cfg.kw * cfg.icp
+    grid = (cfg.bs, cfg.oh // cfg.row_tile)
+    out_oc = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
+    m_tile = cfg.row_tile * iwp
+
+    src_spec = pl.BlockSpec((1, ihp * iwp, cfg.icp),
+                            lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+    w3_spec = pl.BlockSpec((k_dim, cfg.ocp), lambda b, t: (0, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, m_tile, out_oc), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+    in_specs = [src_spec, w3_spec, _vec_spec(cfg.ocp), _vec_spec(cfg.ocp),
+                _vec_spec(cfg.ocp)]
+    args = [flat, w3, corr0.reshape(1, -1), bias0.reshape(1, -1),
+            scale0.reshape(1, -1)]
+    if cfg.fuse_conv1x1:
+        kernel = functools.partial(_conv_fused_kernel, cfg=cfg)
+        in_specs += [
+            pl.BlockSpec((cfg.ocp, cfg.oc1x1p), lambda b, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            _vec_spec(cfg.oc1x1p), _vec_spec(cfg.oc1x1p),
+            _vec_spec(cfg.oc1x1p)]
+        args += [w1, corr1.reshape(1, -1), bias1.reshape(1, -1),
+                 scale1.reshape(1, -1)]
+    else:
+        kernel = functools.partial(_conv_kernel, cfg=cfg)
+
+    flops = 2 * m_tile * k_dim * cfg.ocp
+    bytes_accessed = (ihp * iwp * cfg.icp + k_dim * cfg.ocp
+                      + m_tile * out_oc * cfg.dst_dt.size)
+    if cfg.fuse_conv1x1:
+        flops += 2 * m_tile * cfg.ocp * cfg.oc1x1p
+        bytes_accessed += cfg.ocp * cfg.oc1x1p
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.bs, cfg.oh * iwp, out_oc), cfg.dst_dt.np),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=flops * grid[0] * grid[1],
+            bytes_accessed=bytes_accessed * grid[0] * grid[1],
+            transcendentals=0),
+        interpret=env.interpret_kernels(),
+    )(*args)
+    # columns >= ow are the wrap-around pixels; slice them away (fused by XLA)
+    return out.reshape(cfg.bs, cfg.oh, iwp, out_oc)[:, :, :cfg.ow, :]
+
+
+def _conv_xla(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
+              w1, corr1, bias1, scale1):
+    """Strided fallback: same numerics, XLA ops (int8 dot_general)."""
+    taps = []
+    for ki in range(cfg.kh):
+        for kj in range(cfg.kw):
+            h_hi = ki + (cfg.oh - 1) * cfg.sh + 1
+            w_hi = kj + (cfg.ow - 1) * cfg.sw + 1
+            taps.append(srcp[:, ki:h_hi:cfg.sh, kj:w_hi:cfg.sw, :])
+    patch = jnp.concatenate(taps, axis=-1)  # (n, oh, ow, kh*kw*icp)
+    acc = jax.lax.dot_general(patch, w3, (((3,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    acc = acc + corr0.reshape(1, 1, 1, -1)
+    if not cfg.fuse_conv1x1:
+        res = requant(acc, bias0.reshape(1, 1, 1, -1) if cfg.conv0_with_bias
+                      else None, scale0.reshape(1, 1, 1, -1),
+                      cfg.conv0_relu, cfg.conv0_round, cfg.dst_dt)
+        return res[..., :cfg.oc]
+    x1 = requant_to_u8_centered(
+        acc, bias0.reshape(1, 1, 1, -1) if cfg.conv0_with_bias else None,
+        scale0.reshape(1, 1, 1, -1), cfg.conv0_round)
+    acc1 = jax.lax.dot_general(x1, w1, (((3,), (0,)), ((), ())),
+                               preferred_element_type=jnp.int32)
+    acc1 = acc1 + corr1.reshape(1, 1, 1, -1)
+    res = requant(acc1, bias1.reshape(1, 1, 1, -1) if cfg.conv1_with_bias
+                  else None, scale1.reshape(1, 1, 1, -1),
+                  cfg.conv1_relu, cfg.conv1_round, cfg.dst_dt)
+    return res[..., :cfg.oc1x1]
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _conv_call(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
+               w1=None, corr1=None, bias1=None, scale1=None):
+    srcp = layout.prep_src(cfg, src_u8, xp=jnp)    # (n, ihp, iwp, icp) s8
+    if cfg.sh == 1 and cfg.sw == 1:
+        # one extra -128 pad row keeps the last tap's flat slice in bounds
+        srcp = jnp.pad(srcp, ((0, 0), (0, 1), (0, 0), (0, 0)),
+                       constant_values=np.int8(-128))
+        return _conv_pallas(cfg, srcp, w3, corr0, bias0, scale0,
+                            w1, corr1, bias1, scale1)
+    return _conv_xla(cfg, srcp, w3, corr0, bias0, scale0,
+                     w1, corr1, bias1, scale1)
+
+
+class ConvOp:
+    """Pre-packed, pre-configured conv op for repeated submission.
+
+    The analogue of constructing ``op_conv`` once and calling ``submit()``
+    per batch (``src/op_conv.h:34-96``): weights are packed and the kernel
+    is traced exactly once per configuration.
+    """
+
+    def __init__(self, cfg: ConvConfig, wei, bia=None, wei1x1=None,
+                 bia1x1=None):
+        self.cfg = cfg
+        packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
+        self._operands = [jnp.asarray(packed["w3"]),
+                          jnp.asarray(packed["corr0"]),
+                          jnp.asarray(packed["bias0"]),
+                          jnp.asarray(packed["scale0"])]
+        if cfg.fuse_conv1x1:
+            self._operands += [jnp.asarray(packed["w1"]),
+                               jnp.asarray(packed["corr1"]),
+                               jnp.asarray(packed["bias1"]),
+                               jnp.asarray(packed["scale1"])]
+
+    def __call__(self, src_u8):
+        return _conv_call(self.cfg, jnp.asarray(src_u8), *self._operands)
+
+
+def conv(src, wei, bia=None, stride=(1, 1), padding=(0, 0), *,
+         dst_dtype, conv0_relu=False, conv0_scales=(1.0,),
+         conv0_round_mode=round_mode.nearest,
+         wei1x1=None, bia1x1=None, conv1_relu=False, conv1_scales=(1.0,),
+         conv1_round_mode=round_mode.nearest, groups=1):
+    """Functional conv3x3(+relu)(+conv1x1+relu).
+
+    API parity with ``deepfusion::conv`` (``include/deepfusion.h:120-145``):
+    src is NHWC u8, wei is OIHW s8, bias may be u8/s8/s32/f32, scales are
+    scalar or per-output-channel, round modes per stage.
+    """
+    src = np.asarray(src) if not isinstance(src, jnp.ndarray) else src
+    wei = np.asarray(wei)
+    n, ih, iw, ic = src.shape
+    oc, _, kh, kw = wei.shape
+    from ..utils.mathutil import conv_output_size
+    oh = conv_output_size(ih, kh, stride[0], padding[0])
+    ow = conv_output_size(iw, kw, stride[1], padding[1])
+    out_oc = wei1x1.shape[0] if wei1x1 is not None else oc
+    cfg = ConvConfig.make(
+        (n, ih, iw, ic), tuple(wei.shape),
+        None if bia is None else np.asarray(bia).dtype,
+        stride, padding, (n, oh, ow, out_oc), dst_dtype,
+        conv0_relu=conv0_relu, conv0_scales=conv0_scales,
+        conv0_round=conv0_round_mode,
+        wei1x1_shape=None if wei1x1 is None else tuple(np.asarray(wei1x1).shape),
+        bia1x1_dt=None if bia1x1 is None else np.asarray(bia1x1).dtype,
+        conv1_relu=conv1_relu, conv1_scales=conv1_scales,
+        conv1_round=conv1_round_mode, groups=groups)
+    op = ConvOp(cfg, wei, bia, wei1x1, bia1x1)
+    return op(src)

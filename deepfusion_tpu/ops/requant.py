@@ -1,0 +1,66 @@
+"""In-kernel requantization epilogue (traced jnp, runs on the VPU).
+
+Implements the reference's store_output chain exactly
+(``src/jit_conv_kernel.cc:218-315``; contract in SURVEY.md §4):
+s32 acc -> f32 -> +bias -> *scale -> ReLU -> round -> saturating convert.
+
+All helpers operate on traced values inside a Pallas kernel. Mosaic cannot
+cast f32 directly to (u)int8, so integer converts route through int32 (the
+x86 sequence vcvtps2dq + vpmov[us]db is the same two-step dance).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..types import dtype, round_mode
+
+
+def round_f32(x, mode: round_mode):
+    if mode == round_mode.nearest:
+        return jax.lax.round(x, jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+    return jnp.floor(x)
+
+
+def saturate_to(x_f32, dst: dtype):
+    """Post-round convert with saturation; input must hold integral f32."""
+    if dst == dtype.f32:
+        return x_f32
+    if dst == dtype.s32:
+        # vcvtps2dq saturates at the int32 range
+        x = jnp.clip(x_f32, -2147483648.0, 2147483647.0)
+        return x.astype(jnp.int32)
+    lo, hi = (-128.0, 127.0) if dst == dtype.s8 else (0.0, 255.0)
+    x = jnp.clip(x_f32, lo, hi).astype(jnp.int32)
+    return x.astype(dst.np)
+
+
+def requant(acc_s32, bias_f32, scale_f32, with_relu: bool,
+            mode: round_mode, dst: dtype):
+    """Full epilogue. bias_f32 may be None; bias/scale broadcast over rows.
+
+    ReLU is forced for u8 destinations (``src/jit_conv_kernel.cc:264``).
+    """
+    x = acc_s32.astype(jnp.float32)
+    if bias_f32 is not None:
+        x = x + bias_f32
+    x = x * scale_f32
+    if with_relu or dst == dtype.u8:
+        x = jnp.maximum(x, 0.0)
+    if dst != dtype.f32:
+        x = round_f32(x, mode)
+    return saturate_to(x, dst)
+
+
+def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode):
+    """Fused-path epilogue: requantize to u8 then shift to s8 (x - 128) for
+    the next int8 matmul. ReLU is always applied (``:275-277`` — the fused
+    intermediate is always u8). Returns int8 values in [-128, 127]."""
+    x = acc_s32.astype(jnp.float32)
+    if bias_f32 is not None:
+        x = x + bias_f32
+    x = x * scale_f32
+    x = jnp.maximum(x, 0.0)
+    x = round_f32(x, mode)
+    q = jnp.clip(x, 0.0, 255.0).astype(jnp.int32)
+    return (q - 128).astype(jnp.int8)
