@@ -16,12 +16,23 @@ itself publishes no numbers, BASELINE.md).
 """
 import argparse
 import json
+import os
 import sys
 import time
 
 import numpy as np
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_df")
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # per-chip INT8 peak ops/s by device kind (v5e: 394.7 TOPS int8)
 INT8_PEAK = {
@@ -167,6 +178,7 @@ def main():
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--iters", type=int, default=50)
     args = p.parse_args()
+    _enable_compile_cache()
     result = {"fused": bench_fused, "conv": bench_conv,
               "concat": bench_concat, "model": bench_model}[args.op](args)
     print(json.dumps(result))

@@ -15,7 +15,7 @@ Two API layers:
     (``include/deepfusion.h:105-145``).
 """
 from . import config, ops, types, utils  # noqa: F401
-from .api import concat, conv, op  # noqa: F401
+from .api import concat, conv, eltwise_sum_relu, op, pool  # noqa: F401
 from .config import ConcatConfig, ConvConfig, PoolConfig, device_capabilities  # noqa: F401
 from .types import dtype, f32, format, memory, round_mode, s8, s32, u8  # noqa: F401
 

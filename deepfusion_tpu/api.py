@@ -87,9 +87,54 @@ class _conv_op(op):
         self._dst.data = np.asarray(self._impl(self._src.data))
 
 
+class _pool_op(op):
+    def __init__(self, src, dst, kind, kernel, stride, padding, rnd):
+        from .config import PoolConfig
+        from .ops.pool import pool as pool_fn
+        pc = PoolConfig.make(kind, (src.actual_dims()[1],
+                                    src.actual_dims()[2]),
+                             kernel, stride, padding, rnd)
+        check_eq(tuple(dst.actual_dims()),
+                 (src.actual_dims()[0], pc.oh, pc.ow, src.actual_dims()[3]),
+                 "pool dst dims")
+        check_eq(src.data_type(), dst.data_type(), "pool dtype")
+        self._src, self._dst = src, dst
+        self._args = (kind, kernel, stride, padding, rnd)
+        self._fn = pool_fn
+
+    def infer(self):
+        self._dst.data = np.asarray(self._fn(self._src.data, *self._args))
+
+
+class _eltwise_sum_relu_op(op):
+    def __init__(self, a, b, dst, with_relu):
+        from .ops.pool import eltwise_sum_relu
+        check_eq(a.actual_dims(), b.actual_dims(), "eltwise dims")
+        check_eq(a.data_type(), dst.data_type(), "eltwise dtype")
+        self._a, self._b, self._dst, self._relu = a, b, dst, with_relu
+        self._fn = eltwise_sum_relu
+
+    def infer(self):
+        self._dst.data = np.asarray(
+            self._fn(self._a.data, self._b.data, self._relu))
+
+
 def concat(srcs: Sequence[memory], dst: memory, post_relu: bool = False) -> op:
     """Factory (include/deepfusion.h:116-118)."""
     return _concat_op(srcs, dst, post_relu)
+
+
+def pool(src: memory, dst: memory, kind: str = "max", kernel=(2, 2),
+         stride=(2, 2), padding=(0, 0),
+         round_mode_=round_mode.nearest) -> op:
+    """Pooling factory (roadmap op; spec test_conv_relu_pooling.cc)."""
+    return _pool_op(src, dst, kind, kernel, stride, padding, round_mode_)
+
+
+def eltwise_sum_relu(a: memory, b: memory, dst: memory,
+                     with_relu: bool = True) -> op:
+    """Eltwise-sum+ReLU factory (roadmap op, README.md:64-65)."""
+    return _eltwise_sum_relu_op(a, b, dst, with_relu)
 
 
 def conv(src: memory, wei: memory, bia: Optional[memory],

@@ -32,8 +32,10 @@ void df_aligned_free(void* p) { free(p); }
 
 // ---------------------------------------------------------------- packing
 
-// OIHW int8 -> (kh*kw*icp, ocp) int8, rows ordered (kh, kw, ic), channels
-// zero-padded. Matches deepfusion_tpu.ops.layout.pack_conv_weights.
+// OIHW int8 -> (kw*kh*icp, ocp) int8, rows ordered (kw, kh, ic), channels
+// zero-padded. Matches deepfusion_tpu.ops.layout.pack_conv_weights (the kw
+// tap is outermost so the kernel's per-tap weight sub-matrix is one
+// contiguous block of kh*icp rows).
 void df_pack_conv_weights(const int8_t* wei, int64_t oc, int64_t ic,
                           int64_t kh, int64_t kw, int64_t icp, int64_t ocp,
                           int8_t* out) {
@@ -44,8 +46,8 @@ void df_pack_conv_weights(const int8_t* wei, int64_t oc, int64_t ic,
       const int8_t* w_oi = w_o + i * kh * kw;
       for (int64_t r = 0; r < kh; ++r) {
         for (int64_t s = 0; s < kw; ++s) {
-          // row = ((r*kw + s)*icp + i), col = o
-          out[((r * kw + s) * icp + i) * ocp + o] = w_oi[r * kw + s];
+          // row = ((s*kh + r)*icp + i), col = o
+          out[((s * kh + r) * icp + i) * ocp + o] = w_oi[r * kw + s];
         }
       }
     }
@@ -73,12 +75,13 @@ void df_u8_shift_correction(const int8_t* packed, int64_t rows, int64_t cols,
 }
 
 // u8 NHWC activation -> spatially padded, channel-padded, shifted s8.
-// in: (n, ih, iw, ic) u8; out: (n, ih+2ph, iw+2pw, icp) s8 pre-filled by
-// this routine with -128 (the shifted zero-pad value).
+// in: (n, ih, iw, ic) u8; out: (n, ih+2ph, owp, icp) s8 pre-filled by this
+// routine with -128 (the shifted zero-pad value). owp is the caller-chosen
+// padded width (>= iw + 2*pw; the Pallas kernel wants a multiple of 8).
 void df_prep_src(const uint8_t* in, int64_t n, int64_t ih, int64_t iw,
-                 int64_t ic, int64_t ph, int64_t pw, int64_t icp,
-                 int8_t* out) {
-  const int64_t ohp = ih + 2 * ph, owp = iw + 2 * pw;
+                 int64_t ic, int64_t ph, int64_t pw, int64_t owp,
+                 int64_t icp, int8_t* out) {
+  const int64_t ohp = ih + 2 * ph;
   memset(out, 0x80, (size_t)(n * ohp * owp * icp));  // 0x80 == -128
   for (int64_t b = 0; b < n; ++b) {
     for (int64_t r = 0; r < ih; ++r) {

@@ -51,7 +51,7 @@ def _load():
         lib.df_pack_conv_weights.argtypes = [i8p] + [i64] * 6 + [i8p]
         lib.df_pack_1x1_weights.argtypes = [i8p] + [i64] * 4 + [i8p]
         lib.df_u8_shift_correction.argtypes = [i8p, i64, i64, i32p]
-        lib.df_prep_src.argtypes = [u8p] + [i64] * 7 + [i8p]
+        lib.df_prep_src.argtypes = [u8p] + [i64] * 8 + [i8p]
         lib.df_balance211.argtypes = [i64, i64, i64,
                                       ctypes.POINTER(ctypes.c_int64),
                                       ctypes.POINTER(ctypes.c_int64)]
@@ -109,19 +109,23 @@ def u8_shift_correction(packed: np.ndarray) -> np.ndarray:
 
 
 def prep_src(src_u8: np.ndarray, ph: int, pw: int, icp: int) -> np.ndarray:
-    """Host-side activation prep (pad + shift); the device path uses the
-    traced jnp version in ops.layout.prep_src instead."""
+    """Host-side activation prep (pad + shift, width padded to a multiple
+    of 8 like ops.layout.prep_src); the device path uses the traced jnp
+    version instead."""
+    from ..utils.mathutil import round_up
+
     lib = _load()
     src = np.ascontiguousarray(src_u8, dtype=np.uint8)
     n, ih, iw, ic = src.shape
+    owp = round_up(iw + 2 * pw, 8)
     if lib is None:
-        out = np.full((n, ih + 2 * ph, iw + 2 * pw, icp), -128, np.int8)
+        out = np.full((n, ih + 2 * ph, owp, icp), -128, np.int8)
         out[:, ph:ph + ih, pw:pw + iw, :ic] = (
             src.astype(np.int16) - 128).astype(np.int8)
         return out
-    out = np.empty((n, ih + 2 * ph, iw + 2 * pw, icp), dtype=np.int8)
+    out = np.empty((n, ih + 2 * ph, owp, icp), dtype=np.int8)
     lib.df_prep_src(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                    n, ih, iw, ic, ph, pw, icp, _i8p(out))
+                    n, ih, iw, ic, ph, pw, owp, icp, _i8p(out))
     return out
 
 

@@ -12,19 +12,21 @@ TPU-native re-design of the reference's JIT conv
   preferred_element_type=int32)``. The MXU path is s8 x s8, so u8 operands
   are shifted by -128 with an exact per-channel int32 correction
   (see ops/layout.py) — bit-identical to the u8 x s8 accumulation.
-* kh/kw/ic loops with ``OIhw4i16o4i`` packing -> **flattened-HW im2col**:
-  the padded image lives in VMEM as a (IHP*IWP, ICP) matrix, so each of the
-  kh*kw taps for a row tile is ONE contiguous 2-D slice (offset
-  (r+ki)*IWP + kj). Lane-concatenating the taps yields the
-  (rows*IWP, kh*kw*icp) patch that hits the MXU as a single big matmul —
-  no sublane reshapes (which Mosaic cannot lower). Out-of-row pixels
-  (columns >= ow) are computed and discarded by the caller's slice: the
-  waste factor is IWP/OW (~4% at ow=360, ~15% at ow=13), far cheaper than
-  padding OW to a sublane multiple.
+* kh/kw/ic loops with ``OIhw4i16o4i`` packing -> **flattened-HW im2col with
+  output-side kw rolls**: the padded image lives in VMEM as a
+  (IHP*IWP8, ICP) matrix (width padded to a multiple of 8 so row offsets
+  are sublane-aligned). The KH row blocks for a row tile are contiguous
+  2-D slices at offsets (r0+ki)*IWP8; lane-concatenating them yields a
+  (rows*IWP8, KH*ICP) patch that hits the MXU as KW matmuls (one per kw
+  tap), and each tap's s32 result is rotated by -kj with ``pltpu.roll``
+  before accumulation (conv identity: y[p] = sum_kj z_kj[p+kj]). This
+  avoids both sublane reshapes and misaligned dynamic slices, which
+  Mosaic cannot lower. Rolled wrap-around rows and out-of-row pixels
+  (columns >= ow) only feed outputs discarded by the caller's slice; the
+  waste factor is IWP8/OW (~5% at ow=360, ~23% at ow=13).
 * runtime kh clipping at image borders (``src/op_conv.cc:102-104``) ->
   zero-padded input (numerically identical; padding folds into the constant
-  -128 shift correction, plus one extra pad row so the last tap's flat
-  slice stays in bounds).
+  -128 shift correction).
 * per-thread s32 workspaces ``ws_``/``acc1x1`` (``src/op_conv.h:73-79``) ->
   none needed: each grid program's accumulators are MXU/VMEM values.
 
@@ -52,29 +54,55 @@ from . import layout
 from .requant import requant, requant_to_u8_centered
 
 
-def _flat_patch(src_ref, cfg: ConvConfig, t_idx):
-    """Build the (row_tile*iwp, kh*kw*icp) patch from the flat image.
+def _flat_iwp(cfg: ConvConfig) -> int:
+    from ..utils.mathutil import round_up
+    return round_up(cfg.iw + 2 * cfg.pw, 8)
 
-    src_ref block: (1, ihp*iwp, icp). Output pixel (r, c) tap (ki, kj)
-    reads flat index (r+ki)*iwp + (c+kj); for a row tile starting at r0,
-    tap (ki, kj) is the contiguous slice [ (r0+ki)*iwp + kj , +T*iwp ).
+
+def _row_patch(src_ref, cfg: ConvConfig, t_idx):
+    """Build the (row_tile*iwp8, kh*icp) patch from the flat image.
+
+    src_ref block: (1, ihp*iwp8, icp). The KH row blocks for output rows
+    [r0, r0+T) are contiguous aligned slices [ (r0+ki)*iwp8, +T*iwp8 );
+    kw shifts are applied to the matmul *results* (see _acc_kw_rolled).
     Requires sh == sw == 1.
     """
     T = cfg.row_tile
-    iwp = cfg.iw + 2 * cfg.pw
+    iwp = _flat_iwp(cfg)
     r0 = t_idx * T
-    taps = []
+    blocks = []
     for ki in range(cfg.kh):
-        for kj in range(cfg.kw):
-            off = (r0 + ki) * iwp + kj
-            taps.append(src_ref[0, pl.ds(off, T * iwp), :])
-    return jnp.concatenate(taps, axis=-1)  # (T*iwp, kh*kw*icp)
+        base = pl.multiple_of((r0 + ki) * iwp, 8)
+        blocks.append(src_ref[0, pl.ds(base, T * iwp), :])
+    return jnp.concatenate(blocks, axis=-1)  # (T*iwp8, kh*icp)
+
+
+def _acc_kw_rolled(patch, w3_ref, cfg: ConvConfig):
+    """KW matmuls (K = kh*icp each) + output-side rolls.
+
+    conv identity: y[p] = sum_kj z_kj[p + kj] where z_kj is the matmul of
+    the unshifted patch against the kj tap's weights. pltpu.roll only
+    handles 32-bit data — exactly our s32 accumulators. Wrap-around rows
+    land on discarded out-of-row outputs.
+    """
+    m = patch.shape[0]
+    ksub = cfg.kh * cfg.icp
+    interp = env.interpret_kernels()
+    acc = None
+    for kj in range(cfg.kw):
+        part = jnp.dot(patch, w3_ref[kj * ksub:(kj + 1) * ksub, :],
+                       preferred_element_type=jnp.int32)
+        if kj:
+            part = (jnp.roll(part, -kj, 0) if interp
+                    else pltpu.roll(part, m - kj, 0))
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def _conv_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
                  out_ref, *, cfg: ConvConfig):
-    patch = _flat_patch(src_ref, cfg, pl.program_id(1))
-    acc = jnp.dot(patch, w3_ref[...], preferred_element_type=jnp.int32)
+    patch = _row_patch(src_ref, cfg, pl.program_id(1))
+    acc = _acc_kw_rolled(patch, w3_ref, cfg)
     acc = acc + corr0_ref[...]                     # exact u8-shift correction
     res = requant(acc,
                   bias0_ref[...] if cfg.conv0_with_bias else None,
@@ -86,8 +114,8 @@ def _conv_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
 def _conv_fused_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
                        w1_ref, corr1_ref, bias1_ref, scale1_ref,
                        out_ref, *, cfg: ConvConfig):
-    patch = _flat_patch(src_ref, cfg, pl.program_id(1))
-    acc = jnp.dot(patch, w3_ref[...], preferred_element_type=jnp.int32)
+    patch = _row_patch(src_ref, cfg, pl.program_id(1))
+    acc = _acc_kw_rolled(patch, w3_ref, cfg)
     acc = acc + corr0_ref[...]
     # 3x3 epilogue -> u8 intermediate, pre-shifted to s8 for the MXU.
     # Stays in VMEM: the x86 register-residency property
@@ -110,10 +138,10 @@ def _vec_spec(n):
 
 def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
                  w1, corr1, bias1, scale1):
-    """Stride-1 Pallas path over the flat (ihp*iwp, icp) image."""
+    """Stride-1 Pallas path over the flat (ihp*iwp8, icp) image."""
     n = srcp.shape[0]
-    ihp = cfg.ih + 2 * cfg.ph + 1  # +1 bounds row (see module docstring)
-    iwp = cfg.iw + 2 * cfg.pw
+    ihp = cfg.ih + 2 * cfg.ph
+    iwp = _flat_iwp(cfg)
     flat = srcp.reshape(n, ihp * iwp, cfg.icp)
     k_dim = cfg.kh * cfg.kw * cfg.icp
     grid = (cfg.bs, cfg.oh // cfg.row_tile)
@@ -170,12 +198,12 @@ def _conv_xla(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
               w1, corr1, bias1, scale1):
     """Strided fallback: same numerics, XLA ops (int8 dot_general)."""
     taps = []
-    for ki in range(cfg.kh):
-        for kj in range(cfg.kw):
+    for kj in range(cfg.kw):        # kj-major: matches the packed row order
+        for ki in range(cfg.kh):
             h_hi = ki + (cfg.oh - 1) * cfg.sh + 1
             w_hi = kj + (cfg.ow - 1) * cfg.sw + 1
             taps.append(srcp[:, ki:h_hi:cfg.sh, kj:w_hi:cfg.sw, :])
-    patch = jnp.concatenate(taps, axis=-1)  # (n, oh, ow, kh*kw*icp)
+    patch = jnp.concatenate(taps, axis=-1)  # (n, oh, ow, kw*kh*icp)
     acc = jax.lax.dot_general(patch, w3, (((3,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     acc = acc + corr0.reshape(1, 1, 1, -1)
@@ -199,11 +227,8 @@ def _conv_xla(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _conv_call(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
                w1=None, corr1=None, bias1=None, scale1=None):
-    srcp = layout.prep_src(cfg, src_u8, xp=jnp)    # (n, ihp, iwp, icp) s8
+    srcp = layout.prep_src(cfg, src_u8, xp=jnp)    # (n, ihp, iwp8, icp) s8
     if cfg.sh == 1 and cfg.sw == 1:
-        # one extra -128 pad row keeps the last tap's flat slice in bounds
-        srcp = jnp.pad(srcp, ((0, 0), (0, 1), (0, 0), (0, 0)),
-                       constant_values=np.int8(-128))
         return _conv_pallas(cfg, srcp, w3, corr0, bias0, scale0,
                             w1, corr1, bias1, scale1)
     return _conv_xla(cfg, srcp, w3, corr0, bias0, scale0,
@@ -233,7 +258,54 @@ class ConvOp:
                                jnp.asarray(packed["scale1"])]
 
     def __call__(self, src_u8):
-        return _conv_call(self.cfg, jnp.asarray(src_u8), *self._operands)
+        src = jnp.asarray(src_u8)
+        if env.dump_code() and not getattr(self, "_dumped", False):
+            # analogue of DEEPFUSION_DUMP_CODE (src/jit_generator.h:261-296)
+            from ..utils.profiler import maybe_dump_lowered
+            name = "conv_fused" if self.cfg.fuse_conv1x1 else "conv"
+            maybe_dump_lowered(name, _conv_call, self.cfg, src,
+                               *self._operands)
+            self._dumped = True
+        return _conv_call(self.cfg, src, *self._operands)
+
+    # --- packed-weight persistence (stateless-inference checkpoint
+    # analogue; the reference keeps weights caller-owned, SURVEY.md §5) ---
+    _OPERAND_KEYS = ("w3", "corr0", "bias0", "scale0",
+                     "w1", "corr1", "bias1", "scale1")
+
+    def save(self, path: str):
+        """Save the packed operands + config to an .npz archive."""
+        import dataclasses
+        import json
+        arrs = {k: np.asarray(v) for k, v in
+                zip(self._OPERAND_KEYS, self._operands)}
+        cfg_dict = dataclasses.asdict(self.cfg)
+        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt"):
+            v = cfg_dict[key]
+            cfg_dict[key] = None if v is None else dtype(v.value).name \
+                if isinstance(v, dtype) else v.name
+        cfg_dict["conv0_round"] = self.cfg.conv0_round.name
+        cfg_dict["conv1_round"] = self.cfg.conv1_round.name
+        np.savez(path, __cfg__=json.dumps(cfg_dict), **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "ConvOp":
+        import json
+        data = np.load(path, allow_pickle=False)
+        cfg_dict = json.loads(str(data["__cfg__"]))
+        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt"):
+            v = cfg_dict[key]
+            cfg_dict[key] = None if v is None else dtype[v]
+        cfg_dict["conv0_round"] = round_mode[cfg_dict["conv0_round"]]
+        cfg_dict["conv1_round"] = round_mode[cfg_dict["conv1_round"]]
+        for key in ("conv0_scales", "conv1_scales"):
+            cfg_dict[key] = tuple(cfg_dict[key])
+        cfg = ConvConfig(**cfg_dict)
+        op = cls.__new__(cls)
+        op.cfg = cfg
+        keys = cls._OPERAND_KEYS[:8 if cfg.fuse_conv1x1 else 4]
+        op._operands = [jnp.asarray(data[k]) for k in keys]
+        return op
 
 
 def conv(src, wei, bia=None, stride=(1, 1), padding=(0, 0), *,

@@ -28,17 +28,19 @@ from ..types import dtype
 
 
 def pack_conv_weights(wei_oihw: np.ndarray, icp: int, ocp: int) -> np.ndarray:
-    """OIHW s8 -> (KH*KW*ICP, OCP) s8, zero-padded channels.
+    """OIHW s8 -> (KW*KH*ICP, OCP) s8, zero-padded channels.
 
-    The row order is (kh, kw, ic) — it must match the im2col patch order
-    built inside the conv kernel.
+    The row order is (kw, kh, ic): the Pallas kernel builds its im2col
+    patch by lane-concatenating the KH row-aligned blocks (rows ordered
+    (kh, ic)) and runs one K=KH*ICP matmul per kw tap, so each kw tap's
+    weight sub-matrix w3[kj*KH*ICP:(kj+1)*KH*ICP] must hold (kh, ic) rows.
     """
     w = np.asarray(wei_oihw)
     oc, ic, kh, kw = w.shape
-    out = np.zeros((kh, kw, icp, ocp), dtype=np.int8)
-    # (oc,ic,kh,kw) -> (kh,kw,ic,oc)
-    out[:, :, :ic, :oc] = np.transpose(w, (2, 3, 1, 0))
-    return out.reshape(kh * kw * icp, ocp)
+    out = np.zeros((kw, kh, icp, ocp), dtype=np.int8)
+    # (oc,ic,kh,kw) -> (kw,kh,ic,oc)
+    out[:, :, :ic, :oc] = np.transpose(w, (3, 2, 1, 0))
+    return out.reshape(kw * kh * icp, ocp)
 
 
 def pack_1x1_weights(wei_oihw: np.ndarray, icp: int, ocp: int) -> np.ndarray:
@@ -86,16 +88,23 @@ def widen_scales(scales, oc: int, ocp: int) -> np.ndarray:
 
 def prep_src(cfg: ConvConfig, src_u8, xp=np):
     """Activation prep: NHWC u8 -> spatially padded, channel-padded,
-    shifted-to-s8 tensor of shape (N, IHP, IWP, ICP).
+    shifted-to-s8 tensor of shape (N, IHP, IWP8, ICP), where IWP8 rounds
+    the padded width up to a multiple of 8 so the Pallas kernel's flat
+    row offsets are provably sublane-aligned.
 
     Works with numpy (host) or jax.numpy (traced, fuses into the kernel's
-    producer). Channel-pad slots hold -128 after the shift, matching the
-    spatial padding, so the single constant correction term stays exact
-    (their weights are zero).
+    producer). Channel-pad and width-pad slots hold -128 after the shift,
+    matching the spatial padding, so the single constant correction term
+    stays exact (their weights are zero) and the extra columns only feed
+    discarded out-of-row outputs.
     """
+    from ..utils.mathutil import round_up
+
     src = xp.asarray(src_u8)
     n, ih, iw, ic = src.shape
-    pad = ((0, 0), (cfg.ph, cfg.ph), (cfg.pw, cfg.pw), (0, cfg.icp - ic))
+    iwp8 = round_up(iw + 2 * cfg.pw, 8)
+    pad = ((0, 0), (cfg.ph, cfg.ph),
+           (cfg.pw, iwp8 - iw - cfg.pw), (0, cfg.icp - ic))
     padded = xp.pad(src, pad)  # zero-pad in u8 domain
     return (padded.astype(xp.int16) - 128).astype(xp.int8)
 

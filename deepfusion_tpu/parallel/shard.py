@@ -157,12 +157,12 @@ def _conv_call_acc1(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
     srcp = layout.prep_src(cfg, src_u8, xp=jnp)
     n = srcp.shape[0]
     taps = []
-    for ki in range(cfg.kh):
-        for kj in range(cfg.kw):
+    for kj in range(cfg.kw):        # kj-major: matches the packed row order
+        for ki in range(cfg.kh):
             h_hi = ki + (cfg.oh - 1) * cfg.sh + 1
             w_hi = kj + (cfg.ow - 1) * cfg.sw + 1
             taps.append(srcp[:, ki:h_hi:cfg.sh, kj:w_hi:cfg.sw, :])
-    patch = jnp.concatenate(taps, axis=-1)  # (n, oh, ow, kh*kw*icp)
+    patch = jnp.concatenate(taps, axis=-1)  # (n, oh, ow, kw*kh*icp)
     acc = jax.lax.dot_general(
         patch, w3, (((3,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)

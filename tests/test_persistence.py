@@ -1,0 +1,37 @@
+"""ConvOp packed-weight save/load round-trip tests."""
+import numpy as np
+
+from deepfusion_tpu.config import ConvConfig
+from deepfusion_tpu.ops.conv import ConvOp
+
+from helpers import compare, fill_data
+
+
+def test_fused_save_load_roundtrip(tmp_path, rng):
+    src = fill_data((2, 9, 9, 16), "u8", rng)
+    wei = fill_data((32, 16, 3, 3), "s8", rng)
+    bia = fill_data((32,), "s32", rng)
+    wei1 = fill_data((16, 32, 1, 1), "s8", rng)
+    cfg = ConvConfig.make(
+        (2, 9, 9, 16), (32, 16, 3, 3), bia.dtype, (1, 1), (1, 1),
+        (2, 9, 9, 16), "u8", conv0_scales=(0.02,),
+        wei1x1_shape=(16, 32, 1, 1), conv1_relu=True, conv1_scales=(0.4,))
+    op = ConvOp(cfg, wei, bia, wei1)
+    path = str(tmp_path / "op.npz")
+    op.save(path)
+    op2 = ConvOp.load(path)
+    assert op2.cfg == op.cfg
+    compare(np.asarray(op2(src)), np.asarray(op(src)), "save/load")
+
+
+def test_standalone_save_load(tmp_path, rng):
+    src = fill_data((1, 7, 7, 16), "u8", rng)
+    wei = fill_data((16, 16, 3, 3), "s8", rng)
+    cfg = ConvConfig.make((1, 7, 7, 16), (16, 16, 3, 3), None, (1, 1),
+                          (1, 1), (1, 7, 7, 16), "s8",
+                          conv0_scales=np.full(16, 0.1, np.float32))
+    op = ConvOp(cfg, wei)
+    path = str(tmp_path / "op2.npz")
+    op.save(path)
+    op2 = ConvOp.load(path)
+    compare(np.asarray(op2(src)), np.asarray(op(src)), "standalone")
