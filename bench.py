@@ -97,6 +97,22 @@ def bench_fused(args):
     print(f"# fused {n}x{hw}x{hw}x{ic}->3x3:{oc}->1x1:{oc1} "
           f"{sec*1e3:.3f} ms/iter  {imgs:.1f} imgs/s  "
           f"{ops/1e12:.1f} TOPS on {kind}", file=sys.stderr)
+    if args.compare_xla:
+        # same numerics through plain XLA ops (no Pallas) — the "what the
+        # compiler does unaided" baseline
+        import functools
+        from deepfusion_tpu.ops.conv import _conv_xla
+        from deepfusion_tpu.ops import layout as L
+        import jax.numpy as jnp
+
+        @jax.jit
+        def xla_fn(s):
+            srcp = L.prep_src(cfg, s, xp=jnp)
+            return _conv_xla(cfg, srcp, *op._operands)
+
+        sec_x = timeit(lambda: xla_fn(x), args.warmup, args.iters)
+        print(f"# xla-baseline {sec_x*1e3:.3f} ms/iter "
+              f"(pallas speedup {sec_x/sec:.2f}x)", file=sys.stderr)
     return {"metric": "fused_conv3x3_1x1_int8_roofline_pct",
             "value": round(pct, 2), "unit": "%",
             "vs_baseline": round(pct / 90.0, 4)}
@@ -177,6 +193,8 @@ def main():
     p.add_argument("--oc1x1", type=int, default=256)
     p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--iters", type=int, default=50)
+    p.add_argument("--compare-xla", action="store_true",
+                   help="also time a plain-XLA composition of the same op")
     args = p.parse_args()
     _enable_compile_cache()
     result = {"fused": bench_fused, "conv": bench_conv,

@@ -14,7 +14,7 @@ Two API layers:
     ``concat()/conv()`` returning ops with ``submit()``
     (``include/deepfusion.h:105-145``).
 """
-from . import config, ops, types, utils  # noqa: F401
+from . import config, ops, serving, types, utils  # noqa: F401
 from .api import concat, conv, eltwise_sum_relu, op, pool  # noqa: F401
 from .config import ConcatConfig, ConvConfig, PoolConfig, device_capabilities  # noqa: F401
 from .types import dtype, f32, format, memory, round_mode, s8, s32, u8  # noqa: F401

@@ -108,7 +108,7 @@ def _conv_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
                   bias0_ref[...] if cfg.conv0_with_bias else None,
                   scale0_ref[...], cfg.conv0_relu, cfg.conv0_round,
                   cfg.dst_dt)
-    out_ref[...] = res[None, :, :cfg.oc]
+    out_ref[0] = res[:, :cfg.oc]
 
 
 def _conv_fused_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
@@ -129,7 +129,7 @@ def _conv_fused_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
                   bias1_ref[...] if cfg.conv1_with_bias else None,
                   scale1_ref[...], cfg.conv1_relu, cfg.conv1_round,
                   cfg.dst_dt)
-    out_ref[...] = res[None, :, :cfg.oc1x1]
+    out_ref[0] = res[:, :cfg.oc1x1]
 
 
 def _vec_spec(n):

@@ -46,12 +46,10 @@ def _pool_kernel(x_ref, out_ref, *, pc: PoolConfig, dt: dtype, row_tile: int):
     x_ref block: (1, (row_tile-1)*sh + kh, iwp, c) input rows (pre-padded);
     out block: (1, row_tile, ow, c).
     """
-    t = pl.program_id(1)
-    r0 = t * row_tile * pc.sh
+    r0 = pl.program_id(1) * row_tile * pc.sh
     rows_len = (row_tile - 1) * pc.sh + 1
     is_int = dt != dtype.f32
     acc = None
-    cnt = None
     for ki in range(pc.kh):
         rows = x_ref[0, pl.ds(r0 + ki, rows_len)]  # (rows_len, iwp, c)
         if pc.sh > 1:
@@ -61,22 +59,22 @@ def _pool_kernel(x_ref, out_ref, *, pc: PoolConfig, dt: dtype, row_tile: int):
             tap = rows[:, kj:w_hi:pc.sw, :]  # (row_tile, ow, c)
             if pc.kind == "max":
                 # widen 8-bit types: Mosaic lacks 8-bit integer max
-                t = tap.astype(jnp.int32) if dt in (dtype.s8, dtype.u8) \
+                wide = tap.astype(jnp.int32) if dt in (dtype.s8, dtype.u8) \
                     else tap
-                acc = t if acc is None else jnp.maximum(acc, t)
+                acc = wide if acc is None else jnp.maximum(acc, wide)
             else:
                 t32 = tap.astype(jnp.int32) if is_int else tap
                 acc = t32 if acc is None else acc + t32
     if pc.kind == "max":
-        out_ref[...] = acc[None].astype(dt.np)
+        out_ref[0] = acc.astype(dt.np)
         return
     # avg_inc here; avg_exc uses the dedicated kernel below
     val = acc.astype(jnp.float32) / jnp.float32(pc.kh * pc.kw)
     if is_int:
         val = round_f32(val, pc.round)
-        out_ref[...] = saturate_to(val, dt)[None]
+        out_ref[0] = saturate_to(val, dt)
     else:
-        out_ref[...] = val[None].astype(jnp.float32)
+        out_ref[0] = val.astype(jnp.float32)
 
 
 def _avg_exc_inv_counts(pc: PoolConfig) -> np.ndarray:
@@ -136,8 +134,10 @@ def pool(x, kind: str, kernel, stride, padding,
 
 @functools.partial(jax.jit, static_argnames=("pc", "dt"))
 def _pool_call_avg_exc(pc: PoolConfig, dt: dtype, x, inv_cnt):
-    """avg-exclude-padding: pass the (oh, ow) reciprocal-count plane as a
-    kernel input so counts stay exact at the borders."""
+    """avg-exclude-padding: the Pallas kernel emits the s32 window sums;
+    the per-pixel reciprocal-count multiply + round + saturate run as a
+    fused XLA epilogue (a (oh, ow)-plane broadcast inside the kernel would
+    need an unsupported minor-dim expand)."""
     n, ih, iw, c = x.shape
     xp = jnp.pad(x, ((0, 0), (pc.ph, pc.pb), (pc.pw, pc.pr), (0, 0)))
     row_tile = _pick_pool_row_tile(pc.oh)
@@ -145,7 +145,7 @@ def _pool_call_avg_exc(pc: PoolConfig, dt: dtype, x, inv_cnt):
     ihp, iwp = ih + pc.ph + pc.pb, iw + pc.pw + pc.pr
     is_int = dt != dtype.f32
 
-    def kern(x_ref, inv_ref, out_ref):
+    def kern(x_ref, out_ref):
         t = pl.program_id(1)
         r0 = t * row_tile * pc.sh
         rows_len = (row_tile - 1) * pc.sh + 1
@@ -159,29 +159,27 @@ def _pool_call_avg_exc(pc: PoolConfig, dt: dtype, x, inv_cnt):
                 tap = rows[:, kj:w_hi:pc.sw, :]
                 t32 = tap.astype(jnp.int32) if is_int else tap
                 acc = t32 if acc is None else acc + t32
-        inv = inv_ref[...]  # (row_tile, ow)
-        val = acc.astype(jnp.float32) * inv[:, :, None]
-        if is_int:
-            val = round_f32(val, pc.round)
-            out_ref[...] = saturate_to(val, dt)[None]
-        else:
-            out_ref[...] = val[None].astype(jnp.float32)
+        out_ref[0] = acc
 
-    return pl.pallas_call(
+    sums = pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, pc.oh, pc.ow, c), dt.np),
+        out_shape=jax.ShapeDtypeStruct((n, pc.oh, pc.ow, c),
+                                       jnp.int32 if is_int else jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, ihp, iwp, c), lambda b, t: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile, pc.ow), lambda b, t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, row_tile, pc.ow, c),
                                lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=env.interpret_kernels(),
-    )(xp, inv_cnt)
+    )(xp)
+    val = sums.astype(jnp.float32) * inv_cnt[None, :, :, None]
+    if is_int:
+        val = round_f32(val, pc.round)
+        return saturate_to(val, dt)
+    return val.astype(jnp.float32)
 
 
 # ------------------------------------------- fused conv(+relu)+pool

@@ -18,6 +18,21 @@ _dump_counts: dict = collections.defaultdict(int)
 
 
 @contextlib.contextmanager
+def device_trace(log_dir: str = "/tmp/df_trace"):
+    """Capture a device-level profiler trace (TensorBoard format).
+
+    TPU-native upgrade of the reference's wall-clock-only profiling
+    (SURVEY.md §5 tracing row): wraps ``jax.profiler.trace`` so per-kernel
+    device timelines are visible, not just host wall-clock.
+    """
+    import jax
+
+    with jax.profiler.trace(log_dir):
+        yield
+    info("device trace written to %s", log_dir)
+
+
+@contextlib.contextmanager
 def submit_timer(name: str):
     """Time one op submit (reference: src/deepfusion.cc:91-102)."""
     if not env.is_profiling():

@@ -1,0 +1,65 @@
+"""Continuous-batching server tests (host-side, model on CPU interpret)."""
+import numpy as np
+import pytest
+
+from deepfusion_tpu.serving import BatchServer
+from deepfusion_tpu.utils.logger import CheckError
+
+
+def double_model(x):
+    return x.astype(np.int32) * 2
+
+
+def test_batches_and_preserves_order():
+    srv = BatchServer(double_model, batch=4, input_shape=(3, 3, 8),
+                      max_delay_ms=5.0)
+    with srv:
+        xs = [np.full((3, 3, 8), i, np.uint8) for i in range(10)]
+        futs = srv.submit_many(xs)
+        outs = [f.result(timeout=10) for f in futs]
+    for i, o in enumerate(outs):
+        assert (o == 2 * i).all()
+    assert srv.stats["requests"] == 10
+    assert srv.stats["flushes"] >= 3  # 10 reqs / batch 4
+
+
+def test_partial_flush_pads():
+    srv = BatchServer(double_model, batch=8, input_shape=(2, 2, 4),
+                      max_delay_ms=1.0)
+    with srv:
+        f = srv.submit(np.ones((2, 2, 4), np.uint8))
+        out = f.result(timeout=10)
+    assert (out == 2).all()
+    assert srv.stats["padded_rows"] >= 7
+
+
+def test_error_propagates():
+    def boom(x):
+        raise RuntimeError("kaput")
+
+    srv = BatchServer(boom, batch=2, input_shape=(1,), max_delay_ms=1.0)
+    with srv:
+        f = srv.submit(np.zeros((1,), np.uint8))
+        with pytest.raises(RuntimeError):
+            f.result(timeout=10)
+
+
+def test_rejects_bad_shape():
+    srv = BatchServer(double_model, batch=2, input_shape=(2, 2, 4))
+    with pytest.raises(CheckError):
+        srv.submit(np.zeros((3, 3, 4), np.uint8))
+
+
+def test_with_fusionnet():
+    from deepfusion_tpu.models import FusionNet, FusionNetConfig
+    net = FusionNet(FusionNetConfig(batch=4, hw=8, in_ch=16, width=32,
+                                    num_classes=16))
+    fwd = net.jit()
+    srv = BatchServer(lambda xs: fwd(xs), batch=4, input_shape=(8, 8, 16))
+    with srv:
+        xs = [net.example_input()[0] for _ in range(6)]
+        outs = [f.result(timeout=60)
+                for f in srv.submit_many(xs)]
+    assert all(o.shape == (16,) for o in outs)
+    # identical inputs -> identical logits regardless of batch slot
+    assert np.array_equal(outs[0], outs[5])
