@@ -138,6 +138,11 @@ class ConvConfig:
     conv1_relu: bool = False
     conv1_scales: Tuple[float, ...] = (1.0,)
     conv1_round: round_mode = round_mode.nearest
+    # eltwise-sum post-op on the final stage (MKL-DNN sum semantics; the
+    # documented ResNet case in test/test_conv_relu_pooling.cc:336-338)
+    with_sum: bool = False
+    sum_scale: float = 1.0
+    sum_dt: Optional[dtype] = None
     # --- TPU lowering parameters (x86 analogue: ur_w / nb_*_blocking) ---
     icp: int = 0      # ic padded for packing
     ocp: int = 0      # oc padded (lane multiple)
@@ -168,7 +173,8 @@ class ConvConfig:
              wei1x1_shape=None, bia1x1_dt=None,
              conv1_relu=False, conv1_scales=(1.0,),
              conv1_round=round_mode.nearest,
-             groups=1, row_tile=None) -> "ConvConfig":
+             groups=1, row_tile=None,
+             sum_dt=None, sum_scale=1.0) -> "ConvConfig":
         """Validate and build; shapes are NHWC (src/dst) and OIHW (weights)."""
         src_dt = dtype.from_any(src_dt)
         wei_dt = dtype.from_any(wei_dt)
@@ -231,6 +237,9 @@ class ConvConfig:
             fuse_conv1x1=fuse, oc1x1=oc1x1, bia1x1_dt=bia1x1_dt,
             conv1_relu=conv1_relu, conv1_scales=tuple(conv1_scales),
             conv1_round=conv1_round,
+            with_sum=sum_dt is not None,
+            sum_scale=float(sum_scale),
+            sum_dt=dtype.from_any(sum_dt) if sum_dt is not None else None,
             icp=icp, ocp=ocp, oc1x1p=oc1x1p, row_tile=row_tile)
 
 

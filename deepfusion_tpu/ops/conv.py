@@ -99,21 +99,43 @@ def _acc_kw_rolled(patch, w3_ref, cfg: ConvConfig):
     return acc
 
 
-def _conv_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
-                 out_ref, *, cfg: ConvConfig):
+def _sum_term(sum_ref, cfg: ConvConfig):
+    """f32 eltwise-sum operand (8-bit types widen through i32: Mosaic has
+    no direct 8-bit <-> f32 casts)."""
+    x = sum_ref[0]
+    if cfg.sum_dt in (dtype.u8, dtype.s8):
+        x = x.astype(jnp.int32)
+    x = x.astype(jnp.float32)
+    return x * np.float32(cfg.sum_scale)
+
+
+def _conv_kernel(*refs, cfg: ConvConfig):
+    if cfg.with_sum:
+        (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref, sum_ref,
+         out_ref) = refs
+    else:
+        src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref, out_ref = refs
+        sum_ref = None
     patch = _row_patch(src_ref, cfg, pl.program_id(1))
     acc = _acc_kw_rolled(patch, w3_ref, cfg)
     acc = acc + corr0_ref[...]                     # exact u8-shift correction
     res = requant(acc,
                   bias0_ref[...] if cfg.conv0_with_bias else None,
                   scale0_ref[...], cfg.conv0_relu, cfg.conv0_round,
-                  cfg.dst_dt)
+                  cfg.dst_dt,
+                  sum_term=None if sum_ref is None else _sum_term(sum_ref,
+                                                                  cfg))
     out_ref[0] = res[:, :cfg.oc]
 
 
-def _conv_fused_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
-                       w1_ref, corr1_ref, bias1_ref, scale1_ref,
-                       out_ref, *, cfg: ConvConfig):
+def _conv_fused_kernel(*refs, cfg: ConvConfig):
+    if cfg.with_sum:
+        (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
+         w1_ref, corr1_ref, bias1_ref, scale1_ref, sum_ref, out_ref) = refs
+    else:
+        (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
+         w1_ref, corr1_ref, bias1_ref, scale1_ref, out_ref) = refs
+        sum_ref = None
     patch = _row_patch(src_ref, cfg, pl.program_id(1))
     acc = _acc_kw_rolled(patch, w3_ref, cfg)
     acc = acc + corr0_ref[...]
@@ -128,7 +150,9 @@ def _conv_fused_kernel(src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
     res = requant(acc1,
                   bias1_ref[...] if cfg.conv1_with_bias else None,
                   scale1_ref[...], cfg.conv1_relu, cfg.conv1_round,
-                  cfg.dst_dt)
+                  cfg.dst_dt,
+                  sum_term=None if sum_ref is None else _sum_term(sum_ref,
+                                                                  cfg))
     out_ref[0] = res[:, :cfg.oc1x1]
 
 
@@ -137,7 +161,7 @@ def _vec_spec(n):
 
 
 def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
-                 w1, corr1, bias1, scale1):
+                 w1, corr1, bias1, scale1, sum_src=None):
     """Stride-1 Pallas path over the flat (ihp*iwp8, icp) image."""
     n = srcp.shape[0]
     ihp = cfg.ih + 2 * cfg.ph
@@ -169,6 +193,17 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
                  scale1.reshape(1, -1)]
     else:
         kernel = functools.partial(_conv_kernel, cfg=cfg)
+    if cfg.with_sum:
+        # expand the sum operand to the flat (oh*iwp8, ocp) layout; padded
+        # columns/lanes feed only discarded outputs
+        ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
+        sflat = jnp.pad(sum_src, ((0, 0), (0, 0), (0, iwp - cfg.ow),
+                                  (0, ocp_out - out_oc)))
+        sflat = sflat.reshape(n, cfg.oh * iwp, ocp_out)
+        in_specs.append(pl.BlockSpec((1, m_tile, ocp_out),
+                                     lambda b, t: (b, t, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(sflat)
 
     flops = 2 * m_tile * k_dim * cfg.ocp
     bytes_accessed = (ihp * iwp * cfg.icp + k_dim * cfg.ocp
@@ -195,7 +230,7 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
 
 
 def _conv_xla(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
-              w1, corr1, bias1, scale1):
+              w1, corr1, bias1, scale1, sum_src=None):
     """Strided fallback: same numerics, XLA ops (int8 dot_general)."""
     taps = []
     for kj in range(cfg.kw):        # kj-major: matches the packed row order
@@ -207,10 +242,17 @@ def _conv_xla(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
     acc = jax.lax.dot_general(patch, w3, (((3,), (0,)), ((), ())),
                               preferred_element_type=jnp.int32)
     acc = acc + corr0.reshape(1, 1, 1, -1)
+    sum_term = None
+    if cfg.with_sum:
+        st = sum_src
+        if cfg.sum_dt in (dtype.u8, dtype.s8):
+            st = st.astype(jnp.int32)
+        sum_term = st.astype(jnp.float32) * np.float32(cfg.sum_scale)
     if not cfg.fuse_conv1x1:
         res = requant(acc, bias0.reshape(1, 1, 1, -1) if cfg.conv0_with_bias
                       else None, scale0.reshape(1, 1, 1, -1),
-                      cfg.conv0_relu, cfg.conv0_round, cfg.dst_dt)
+                      cfg.conv0_relu, cfg.conv0_round, cfg.dst_dt,
+                      sum_term=sum_term)
         return res[..., :cfg.oc]
     x1 = requant_to_u8_centered(
         acc, bias0.reshape(1, 1, 1, -1) if cfg.conv0_with_bias else None,
@@ -220,19 +262,20 @@ def _conv_xla(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
     acc1 = acc1 + corr1.reshape(1, 1, 1, -1)
     res = requant(acc1, bias1.reshape(1, 1, 1, -1) if cfg.conv1_with_bias
                   else None, scale1.reshape(1, 1, 1, -1),
-                  cfg.conv1_relu, cfg.conv1_round, cfg.dst_dt)
+                  cfg.conv1_relu, cfg.conv1_round, cfg.dst_dt,
+                  sum_term=sum_term)
     return res[..., :cfg.oc1x1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _conv_call(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
-               w1=None, corr1=None, bias1=None, scale1=None):
+               w1=None, corr1=None, bias1=None, scale1=None, sum_src=None):
     srcp = layout.prep_src(cfg, src_u8, xp=jnp)    # (n, ihp, iwp8, icp) s8
     if cfg.sh == 1 and cfg.sw == 1:
         return _conv_pallas(cfg, srcp, w3, corr0, bias0, scale0,
-                            w1, corr1, bias1, scale1)
+                            w1, corr1, bias1, scale1, sum_src=sum_src)
     return _conv_xla(cfg, srcp, w3, corr0, bias0, scale0,
-                     w1, corr1, bias1, scale1)
+                     w1, corr1, bias1, scale1, sum_src=sum_src)
 
 
 class ConvOp:
@@ -257,8 +300,10 @@ class ConvOp:
                                jnp.asarray(packed["bias1"]),
                                jnp.asarray(packed["scale1"])]
 
-    def __call__(self, src_u8):
+    def __call__(self, src_u8, sum_src=None):
         src = jnp.asarray(src_u8)
+        if self.cfg.with_sum and sum_src is None:
+            raise ValueError("config has a sum post-op; pass sum_src")
         if env.dump_code() and not getattr(self, "_dumped", False):
             # analogue of DEEPFUSION_DUMP_CODE (src/jit_generator.h:261-296)
             from ..utils.profiler import maybe_dump_lowered
@@ -266,7 +311,15 @@ class ConvOp:
             maybe_dump_lowered(name, _conv_call, self.cfg, src,
                                *self._operands)
             self._dumped = True
-        return _conv_call(self.cfg, src, *self._operands)
+        kw = {}
+        if self.cfg.fuse_conv1x1:
+            args = self._operands
+        else:
+            args = self._operands[:4]
+            kw = dict(w1=None, corr1=None, bias1=None, scale1=None)
+        if sum_src is not None:
+            kw["sum_src"] = jnp.asarray(sum_src)
+        return _conv_call(self.cfg, src, *args, **kw)
 
     # --- packed-weight persistence (stateless-inference checkpoint
     # analogue; the reference keeps weights caller-owned, SURVEY.md §5) ---
@@ -312,7 +365,8 @@ def conv(src, wei, bia=None, stride=(1, 1), padding=(0, 0), *,
          dst_dtype, conv0_relu=False, conv0_scales=(1.0,),
          conv0_round_mode=round_mode.nearest,
          wei1x1=None, bia1x1=None, conv1_relu=False, conv1_scales=(1.0,),
-         conv1_round_mode=round_mode.nearest, groups=1):
+         conv1_round_mode=round_mode.nearest, groups=1,
+         sum_src=None, sum_scale=1.0):
     """Functional conv3x3(+relu)(+conv1x1+relu).
 
     API parity with ``deepfusion::conv`` (``include/deepfusion.h:120-145``):
@@ -336,6 +390,8 @@ def conv(src, wei, bia=None, stride=(1, 1), padding=(0, 0), *,
         wei1x1_shape=None if wei1x1 is None else tuple(np.asarray(wei1x1).shape),
         bia1x1_dt=None if bia1x1 is None else np.asarray(bia1x1).dtype,
         conv1_relu=conv1_relu, conv1_scales=conv1_scales,
-        conv1_round=conv1_round_mode, groups=groups)
+        conv1_round=conv1_round_mode, groups=groups,
+        sum_dt=None if sum_src is None else np.asarray(sum_src).dtype,
+        sum_scale=sum_scale)
     op = ConvOp(cfg, wei, bia, wei1x1, bia1x1)
-    return op(src)
+    return op(src, sum_src=sum_src)

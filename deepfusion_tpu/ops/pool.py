@@ -40,24 +40,43 @@ def _identity_pad(pc: PoolConfig, dt: dtype):
     return 0
 
 
-def _pool_kernel(x_ref, out_ref, *, pc: PoolConfig, dt: dtype, row_tile: int):
-    """Standalone pooling over NHWC; grid = (n, oh/row_tile).
+def _space_to_depth(x, sh, sw, pad_val):
+    """(n, h, w, c) -> (n, h/sh, w/sw, sh*sw*c), padding h/w up to stride
+    multiples with the pooling identity value. Runs in XLA (one relayout
+    copy); afterwards a stride-(sh,sw) pooling window becomes stride-1 row/
+    col shifts plus lane-group selects, which Mosaic lowers natively (its
+    strided-slice/gather paths do not support >2-D strided access)."""
+    n, h, w, c = x.shape
+    hp = -(-h // sh) * sh
+    wp = -(-w // sw) * sw
+    if hp != h or wp != w:
+        x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
+                    constant_values=np.asarray(pad_val, dtype=x.dtype))
+    x = x.reshape(n, hp // sh, sh, wp // sw, sw, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, hp // sh, wp // sw, sh * sw * c)
 
-    x_ref block: (1, (row_tile-1)*sh + kh, iwp, c) input rows (pre-padded);
-    out block: (1, row_tile, ow, c).
+
+def _pool_kernel(x_ref, out_ref, *, pc: PoolConfig, dt: dtype,
+                 row_tile: int, emit_sums: bool = False):
+    """Pool over the space-to-depth grid; grid = (n, oh/row_tile).
+
+    x_ref block: (1, H2, W2, sh*sw*c) s2d input; out block
+    (1, row_tile, ow, c). Window tap (ki, kj) of the original grid lives at
+    s2d position (r + ki//sh, c + kj//sw), lane group (ki%sh)*sw + (kj%sw).
     """
-    r0 = pl.program_id(1) * row_tile * pc.sh
-    rows_len = (row_tile - 1) * pc.sh + 1
+    r0 = pl.program_id(1) * row_tile
+    c = out_ref.shape[-1]
     is_int = dt != dtype.f32
     acc = None
     for ki in range(pc.kh):
-        rows = x_ref[0, pl.ds(r0 + ki, rows_len)]  # (rows_len, iwp, c)
-        if pc.sh > 1:
-            rows = rows[::pc.sh]
+        qi, mi = divmod(ki, pc.sh)
+        rows = x_ref[0, pl.ds(r0 + qi, row_tile)]  # (row_tile, W2, sh*sw*c)
         for kj in range(pc.kw):
-            w_hi = kj + (pc.ow - 1) * pc.sw + 1
-            tap = rows[:, kj:w_hi:pc.sw, :]  # (row_tile, ow, c)
-            if pc.kind == "max":
+            qj, mj = divmod(kj, pc.sw)
+            grp = mi * pc.sw + mj
+            tap = rows[:, qj:qj + pc.ow, grp * c:(grp + 1) * c]
+            if pc.kind == "max" and not emit_sums:
                 # widen 8-bit types: Mosaic lacks 8-bit integer max
                 wide = tap.astype(jnp.int32) if dt in (dtype.s8, dtype.u8) \
                     else tap
@@ -68,7 +87,10 @@ def _pool_kernel(x_ref, out_ref, *, pc: PoolConfig, dt: dtype, row_tile: int):
     if pc.kind == "max":
         out_ref[0] = acc.astype(dt.np)
         return
-    # avg_inc here; avg_exc uses the dedicated kernel below
+    if emit_sums:
+        out_ref[0] = acc
+        return
+    # avg_inc: fixed divisor kh*kw (padding included)
     val = acc.astype(jnp.float32) / jnp.float32(pc.kh * pc.kw)
     if is_int:
         val = round_f32(val, pc.round)
@@ -97,27 +119,35 @@ def _pick_pool_row_tile(oh: int) -> int:
     return 1
 
 
-@functools.partial(jax.jit, static_argnames=("pc", "dt"))
-def _pool_call(pc: PoolConfig, dt: dtype, x):
+def _pool_pallas(pc: PoolConfig, dt: dtype, x, pad_val, emit_sums):
+    """Shared driver: pad -> s2d -> Pallas kernel."""
     n, ih, iw, c = x.shape
-    pad_val = _identity_pad(pc, dt)
     xp = jnp.pad(x, ((0, 0), (pc.ph, pc.pb), (pc.pw, pc.pr), (0, 0)),
                  constant_values=np.asarray(pad_val, dtype=dt.np))
+    x2 = _space_to_depth(xp, pc.sh, pc.sw, pad_val)
+    _, h2, w2, c2 = x2.shape
     row_tile = _pick_pool_row_tile(pc.oh)
     grid = (n, pc.oh // row_tile)
-    ihp, iwp = ih + pc.ph + pc.pb, iw + pc.pw + pc.pr
-    kern = functools.partial(_pool_kernel, pc=pc, dt=dt, row_tile=row_tile)
+    out_dt = (jnp.int32 if dt != dtype.f32 else jnp.float32) if emit_sums \
+        else dt.np
+    kern = functools.partial(_pool_kernel, pc=pc, dt=dt, row_tile=row_tile,
+                             emit_sums=emit_sums)
     return pl.pallas_call(
         kern,
-        out_shape=jax.ShapeDtypeStruct((n, pc.oh, pc.ow, c), dt.np),
+        out_shape=jax.ShapeDtypeStruct((n, pc.oh, pc.ow, c), out_dt),
         grid=grid,
-        in_specs=[pl.BlockSpec((1, ihp, iwp, c), lambda b, t: (b, 0, 0, 0),
+        in_specs=[pl.BlockSpec((1, h2, w2, c2), lambda b, t: (b, 0, 0, 0),
                                memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, row_tile, pc.ow, c),
                                lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=env.interpret_kernels(),
-    )(xp)
+    )(x2)
+
+
+@functools.partial(jax.jit, static_argnames=("pc", "dt"))
+def _pool_call(pc: PoolConfig, dt: dtype, x):
+    return _pool_pallas(pc, dt, x, _identity_pad(pc, dt), emit_sums=False)
 
 
 def pool(x, kind: str, kernel, stride, padding,
@@ -134,49 +164,13 @@ def pool(x, kind: str, kernel, stride, padding,
 
 @functools.partial(jax.jit, static_argnames=("pc", "dt"))
 def _pool_call_avg_exc(pc: PoolConfig, dt: dtype, x, inv_cnt):
-    """avg-exclude-padding: the Pallas kernel emits the s32 window sums;
-    the per-pixel reciprocal-count multiply + round + saturate run as a
-    fused XLA epilogue (a (oh, ow)-plane broadcast inside the kernel would
-    need an unsupported minor-dim expand)."""
-    n, ih, iw, c = x.shape
-    xp = jnp.pad(x, ((0, 0), (pc.ph, pc.pb), (pc.pw, pc.pr), (0, 0)))
-    row_tile = _pick_pool_row_tile(pc.oh)
-    grid = (n, pc.oh // row_tile)
-    ihp, iwp = ih + pc.ph + pc.pb, iw + pc.pw + pc.pr
-    is_int = dt != dtype.f32
-
-    def kern(x_ref, out_ref):
-        t = pl.program_id(1)
-        r0 = t * row_tile * pc.sh
-        rows_len = (row_tile - 1) * pc.sh + 1
-        acc = None
-        for ki in range(pc.kh):
-            rows = x_ref[0, pl.ds(r0 + ki, rows_len)]
-            if pc.sh > 1:
-                rows = rows[::pc.sh]
-            for kj in range(pc.kw):
-                w_hi = kj + (pc.ow - 1) * pc.sw + 1
-                tap = rows[:, kj:w_hi:pc.sw, :]
-                t32 = tap.astype(jnp.int32) if is_int else tap
-                acc = t32 if acc is None else acc + t32
-        out_ref[0] = acc
-
-    sums = pl.pallas_call(
-        kern,
-        out_shape=jax.ShapeDtypeStruct((n, pc.oh, pc.ow, c),
-                                       jnp.int32 if is_int else jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, ihp, iwp, c), lambda b, t: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((1, row_tile, pc.ow, c),
-                               lambda b, t: (b, t, 0, 0),
-                               memory_space=pltpu.VMEM),
-        interpret=env.interpret_kernels(),
-    )(xp)
+    """avg-exclude-padding: the Pallas kernel emits the window sums; the
+    per-pixel reciprocal-count multiply + round + saturate run as a fused
+    XLA epilogue (an (oh, ow)-plane broadcast inside the kernel would need
+    an unsupported minor-dim expand)."""
+    sums = _pool_pallas(pc, dt, x, 0, emit_sums=True)
     val = sums.astype(jnp.float32) * inv_cnt[None, :, :, None]
-    if is_int:
+    if dt != dtype.f32:
         val = round_f32(val, pc.round)
         return saturate_to(val, dt)
     return val.astype(jnp.float32)

@@ -62,21 +62,41 @@ def requant_ref(acc_s32: np.ndarray,
                 scales: Sequence[float],
                 with_relu: bool,
                 mode: round_mode,
-                dst: dtype) -> np.ndarray:
+                dst: dtype,
+                sum_src: Optional[np.ndarray] = None,
+                sum_scale: float = 1.0) -> np.ndarray:
     """The full requantization epilogue (contracts #2-#5).
 
     acc_s32: (..., oc) int32; bias: (oc,) any supported dtype or None;
-    scales: length 1 or oc.
+    scales: length 1 or oc. sum_src: optional eltwise-sum post-op operand
+    added (x sum_scale, in f32) after scaling, before ReLU (MKL-DNN sum
+    post-op semantics, the documented intent of the ResNet case in
+    test/test_conv_relu_pooling.cc:336-338).
     """
     x = acc_s32.astype(np.float32)
     if bias is not None:
         x = x + np.asarray(bias).astype(np.float32)
     sc = np.asarray(scales, dtype=np.float32).reshape(-1)
     x = x * (sc if sc.size > 1 else sc[0])
-    if with_relu or dst == dtype.u8:
+    relu = with_relu or dst == dtype.u8
+    if sum_src is None:
+        if relu:
+            x = np.maximum(x, np.float32(0))
+        if dst != dtype.f32:
+            x = round_f32(x, mode)
+        return saturate_cast(x, dst)
+    # sum post-op: integer-domain join (see ops/requant.py docstring for
+    # why this diverges from MKL-DNN's pre-round f32 add)
+    sum_term = (np.float32(sum_scale)
+                * np.asarray(sum_src).astype(np.float32))
+    if dst == dtype.f32:
+        x = x + sum_term
+        if relu:
+            x = np.maximum(x, np.float32(0))
+        return x.astype(np.float32)
+    x = round_f32(x, mode) + round_f32(sum_term, mode)
+    if relu:
         x = np.maximum(x, np.float32(0))
-    if dst != dtype.f32:
-        x = round_f32(x, mode)
     return saturate_cast(x, dst)
 
 
@@ -129,13 +149,15 @@ def conv_acc_ref(src_u8: np.ndarray, wei_s8: np.ndarray,
 
 
 def conv_ref(cfg: ConvConfig, src_u8, wei_s8, bias=None,
-             wei1x1_s8=None, bias1x1=None) -> np.ndarray:
-    """Full conv3x3(+relu)(+conv1x1+relu) oracle matching the fused JIT
-    kernel's dataflow (``src/jit_conv_kernel.cc:218-315`` + ``:27-191``)."""
+             wei1x1_s8=None, bias1x1=None, sum_src=None) -> np.ndarray:
+    """Full conv3x3(+relu)(+conv1x1+relu)(+sum) oracle matching the fused
+    JIT kernel's dataflow (``src/jit_conv_kernel.cc:218-315`` + ``:27-191``);
+    the optional sum post-op applies to the final stage."""
     acc = conv_acc_ref(src_u8, wei_s8, (cfg.sh, cfg.sw), (cfg.ph, cfg.pw))
     if not cfg.fuse_conv1x1:
         return requant_ref(acc, bias, cfg.conv0_scales, cfg.conv0_relu,
-                           cfg.conv0_round, cfg.dst_dt)
+                           cfg.conv0_round, cfg.dst_dt,
+                           sum_src=sum_src, sum_scale=cfg.sum_scale)
     # fused: 3x3 result always requantized to u8 (relu forced, contract #7)
     inter_u8 = requant_ref(acc, bias, cfg.conv0_scales, True,
                            cfg.conv0_round, dtype.u8)
@@ -145,7 +167,8 @@ def conv_ref(cfg: ConvConfig, src_u8, wei_s8, bias=None,
     assert w1.shape[1] * 255 * 127 < 2 ** 53  # f64 matmul exactness bound
     acc1 = (inter_u8.astype(np.float64) @ w1.T).astype(np.int32)
     return requant_ref(acc1, bias1x1, cfg.conv1_scales, cfg.conv1_relu,
-                       cfg.conv1_round, cfg.dst_dt)
+                       cfg.conv1_round, cfg.dst_dt,
+                       sum_src=sum_src, sum_scale=cfg.sum_scale)
 
 
 def pool_ref(x: np.ndarray, pc: PoolConfig) -> np.ndarray:

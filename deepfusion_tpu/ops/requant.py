@@ -36,19 +36,46 @@ def saturate_to(x_f32, dst: dtype):
 
 
 def requant(acc_s32, bias_f32, scale_f32, with_relu: bool,
-            mode: round_mode, dst: dtype):
+            mode: round_mode, dst: dtype, sum_term=None):
     """Full epilogue. bias_f32 may be None; bias/scale broadcast over rows.
 
     ReLU is forced for u8 destinations (``src/jit_conv_kernel.cc:264``).
+
+    sum_term (optional, f32): eltwise-sum post-op operand. Spec note: the
+    reference never implemented its sum post-op (README.md:64-65 roadmap);
+    ours joins AFTER rounding, in the exact integer domain:
+
+        out = saturate(relu?(round((acc+bias)*scale) + round(sum*sscale)))
+
+    MKL-DNN adds the sum in f32 *before* rounding, but that order is not
+    bit-reproducible on XLA: the compiler legally keeps excess precision
+    (fma-contracts mul+add, --xla_allow_excess_precision defaults on and
+    the TPU compile service forces it), flipping values at rounding
+    boundaries. Integer-domain joins are exact on every backend. For f32
+    destinations the sum stays an f32 add (no rounding step exists) and
+    comparisons are tolerance-based anyway.
     """
     x = acc_s32.astype(jnp.float32)
     if bias_f32 is not None:
         x = x + bias_f32
     x = x * scale_f32
-    if with_relu or dst == dtype.u8:
+    relu = with_relu or dst == dtype.u8
+    if sum_term is None:
+        if relu:
+            x = jnp.maximum(x, 0.0)
+        if dst != dtype.f32:
+            x = round_f32(x, mode)
+        return saturate_to(x, dst)
+    if dst == dtype.f32:
+        x = x + sum_term
+        if relu:
+            x = jnp.maximum(x, 0.0)
+        return x
+    # integer dst: round both addends, join exactly, then relu/saturate
+    # (relu commutes with the monotone round; round(0) == 0)
+    x = round_f32(x, mode) + round_f32(sum_term, mode)
+    if relu:
         x = jnp.maximum(x, 0.0)
-    if dst != dtype.f32:
-        x = round_f32(x, mode)
     return saturate_to(x, dst)
 
 
