@@ -114,9 +114,15 @@ def bench_fused(args):
     """Flagship: fused conv3x3+relu+conv1x1+relu, MXU-filling channels.
 
     oc1x1 == ic so the u8 output feeds the next iteration's input directly
-    (the timing chain needs a shape/dtype-preserving step)."""
+    (the timing chain needs a shape/dtype-preserving step).
+
+    Default path is the layout-persistent packed-domain op (ops/packed.py):
+    activations stay in the padded/shifted s8 layout between convs, exactly
+    as a multi-layer int8 model would run them — no per-op HBM prep pass.
+    --dense measures the standalone dense-in/dense-out op instead."""
     from deepfusion_tpu.config import ConvConfig
     from deepfusion_tpu.ops.conv import ConvOp
+    from deepfusion_tpu.ops.packed import PackedConvOp, pack_image
 
     n, hw, ic, oc, oc1 = args.batch, args.hw, args.ic, args.oc, args.oc1x1
     if oc1 != ic:
@@ -132,10 +138,14 @@ def bench_fused(args):
         (n, hw, hw, oc1), "u8", conv0_scales=(0.001,),
         wei1x1_shape=(oc1, oc, 1, 1), bia1x1_dt=bia1.dtype,
         conv1_relu=True, conv1_scales=(0.05,))
-    op = ConvOp(cfg, wei, bia, wei1, bia1)
     import jax
 
-    x = jax.device_put(src)
+    if args.dense:
+        op = ConvOp(cfg, wei, bia, wei1, bia1)
+        x = jax.device_put(src)
+    else:
+        op = PackedConvOp(cfg, wei, bia, wei1, bia1)
+        x = jax.device_put(pack_image(src, op.sin))
     sec = timeit_chain(op, x, args.iters)
     macs = n * hw * hw * (9 * ic * oc + oc * oc1)
     ops = 2 * macs / sec
@@ -152,11 +162,13 @@ def bench_fused(args):
         from deepfusion_tpu.ops import layout as L
         import jax.numpy as jnp
 
+        dense_op = ConvOp(cfg, wei, bia, wei1, bia1)
+
         def xla_step(s):
             srcp = L.prep_src(cfg, s, xp=jnp)
-            return _conv_xla(cfg, srcp, *op._operands)
+            return _conv_xla(cfg, srcp, *dense_op._operands)
 
-        sec_x = timeit_chain(xla_step, x, args.iters)
+        sec_x = timeit_chain(xla_step, jax.device_put(src), args.iters)
         print(f"# xla-baseline {sec_x*1e3:.3f} ms/iter "
               f"(pallas speedup {sec_x/sec:.2f}x)", file=sys.stderr)
     return {"metric": "fused_conv3x3_1x1_int8_roofline_pct",
@@ -265,6 +277,9 @@ def main():
                    help="chain length inside one jit")
     p.add_argument("--compare-xla", action="store_true",
                    help="also time a plain-XLA composition of the same op")
+    p.add_argument("--dense", action="store_true",
+                   help="fused: time the dense-in/dense-out op instead of "
+                        "the packed-domain chain")
     args = p.parse_args()
     _enable_compile_cache()
     result = {"fused": bench_fused, "conv": bench_conv,

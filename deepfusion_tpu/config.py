@@ -244,33 +244,41 @@ class ConvConfig:
 
 
 def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
-                   vmem_budget=8 * 1024 * 1024) -> int:
+                   vmem_budget=9 * 1024 * 1024) -> int:
     """Choose output rows per grid step so the working set fits VMEM.
 
     The analogue of the reference's ur_w / workspace sizing
-    (src/jit_conv_kernel.cc:643-661): we want M = row_tile*ow >= 256 to keep
-    the MXU busy, under a VMEM budget for src block + im2col patch + acc.
+    (src/jit_conv_kernel.cc:643-661). The tile must divide oh (packed-path
+    pad tiles are whole tiles); among the divisors that fit the VMEM
+    budget, take the smallest whose matmul M dimension (t * padded width)
+    fills the MXU pipeline (>= 512 rows); tiny tiles pay per-program
+    overheads, oversized tiles waste VMEM that the pipeline needs for
+    double buffering.
     """
+    from .utils.mathutil import round_up
+
     k_dim = kh * kw * icp
-    best = 1
-    for t in range(1, oh + 1):
-        m = t * ow
-        src_bytes = (t * sh + kh) * iw * icp  # int8
-        patch_bytes = m * k_dim               # int8
-        acc_bytes = m * ocp * 4
-        acc1_bytes = m * oc1x1p * 4 if oc1x1p else 0
+    iwp = round_up(iw + 2, 8)  # padded-width estimate for the flat layouts
+
+    def vmem_est(t):
+        m = t * iwp
+        src_bytes = 2 * (oh * sh + 2 * t + kh) * iwp * icp  # double-buffered
+        patch_bytes = m * k_dim
+        acc_bytes = 2 * m * ocp * 4
+        acc1_bytes = (2 * m * oc1x1p * 4 + m * ocp) if oc1x1p else 0
         wei_bytes = k_dim * ocp + ocp * (oc1x1p or 0)
-        total = src_bytes + patch_bytes + acc_bytes + acc1_bytes + wei_bytes
-        if total > vmem_budget:
-            break
-        best = t
-        if m >= 512:  # enough rows to fill MXU pipelines
-            break
-    # prefer a tile that divides oh evenly to avoid a ragged tail program
-    for t in range(best, 0, -1):
-        if oh % t == 0:
+        out_bytes = 2 * m * (oc1x1p or ocp)
+        return (src_bytes + patch_bytes + acc_bytes + acc1_bytes
+                + wei_bytes + out_bytes)
+
+    divisors = [t for t in range(1, oh + 1) if oh % t == 0]
+    feasible = [t for t in divisors if vmem_est(t) <= vmem_budget]
+    if not feasible:
+        return 1
+    for t in feasible:
+        if t * iwp >= 512:
             return t
-    return best
+    return feasible[-1]
 
 
 def replace_geometry(cfg: ConvConfig, **kw) -> ConvConfig:

@@ -79,15 +79,25 @@ def requant(acc_s32, bias_f32, scale_f32, with_relu: bool,
     return saturate_to(x, dst)
 
 
-def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode):
+def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
+                           zero_mask=None):
     """Fused-path epilogue: requantize to u8 then shift to s8 (x - 128) for
     the next int8 matmul. ReLU is always applied (``:275-277`` — the fused
-    intermediate is always u8). Returns int8 values in [-128, 127]."""
+    intermediate is always u8). Returns int8 values in [-128, 127].
+
+    zero_mask (optional, f32 of 0.0/1.0, broadcastable): slots multiplied
+    by 0.0 come out as exactly -128 (packed-domain padding). A multiply
+    folded into the f32 chain is dramatically cheaper on the VPU than an
+    int8 select at store time. The lower saturation bound is free: ReLU
+    already guarantees x >= 0 and rounding preserves it.
+    """
     x = acc_s32.astype(jnp.float32)
     if bias_f32 is not None:
         x = x + bias_f32
     x = x * scale_f32
+    if zero_mask is not None:
+        x = x * zero_mask
     x = jnp.maximum(x, 0.0)
     x = round_f32(x, mode)
-    q = jnp.clip(x, 0.0, 255.0).astype(jnp.int32)
+    q = jnp.minimum(x, 255.0).astype(jnp.int32)
     return (q - 128).astype(jnp.int8)

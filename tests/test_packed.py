@@ -1,0 +1,137 @@
+"""Layout-persistent (packed-domain) conv path differential tests.
+
+The packed path must be bit-identical to the dense path / numpy oracle:
+pack -> packed conv(s) -> unpack == conv_ref composition. Also checks that
+the emitted packed array is itself a *valid* packed image (halo rows,
+margin columns, and pad lanes all hold -128) so it can feed the next conv
+with no glue.
+"""
+import numpy as np
+import pytest
+
+from deepfusion_tpu.config import ConvConfig
+from deepfusion_tpu.ops.packed import (PackedConvOp, PackedSpec, pack_image,
+                                       unpack_image, validate_packed_conv)
+from deepfusion_tpu.ops.ref import conv_ref
+from deepfusion_tpu.types import round_mode
+from deepfusion_tpu.utils.logger import CheckError
+from deepfusion_tpu.utils.mathutil import conv_output_size
+
+from helpers import compare, fill_data
+
+
+def build_cfg(mb, ic, hw, oc, ph, oc1=None, bia="s32", rng=None,
+              scales0=(0.02,), scales1=(0.4,)):
+    kh = kw = 3
+    oh = conv_output_size(hw, kh, 1, ph)
+    src = fill_data((mb, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, kh, kw), "s8", rng)
+    bia0 = None if bia is None else fill_data((oc,), bia, rng)
+    wei1 = bia1 = None
+    if oc1 is not None:
+        wei1 = fill_data((oc1, oc, 1, 1), "s8", rng)
+        bia1 = fill_data((oc1,), "s32", rng)
+    cfg = ConvConfig.make(
+        (mb, hw, hw, ic), (oc, ic, kh, kw),
+        None if bia0 is None else bia0.dtype, (1, 1), (ph, ph),
+        (mb, oh, oh, oc1 if oc1 is not None else oc), "u8",
+        conv0_scales=scales0,
+        wei1x1_shape=None if oc1 is None else (oc1, oc, 1, 1),
+        bia1x1_dt=None if bia1 is None else bia1.dtype,
+        conv1_relu=True, conv1_scales=scales1)
+    return cfg, src, wei, bia0, wei1, bia1
+
+
+def test_pack_unpack_roundtrip(rng):
+    spec = PackedSpec.make(13, 13, 32, halo=3, col_off=1)
+    src = fill_data((2, 13, 13, 32), "u8", rng)
+    arr = pack_image(src, spec)
+    assert arr.shape == spec.array_shape(2)
+    np.testing.assert_array_equal(unpack_image(arr, spec), src)
+    # non-image slots are -128
+    img = arr.reshape(2, spec.rows, spec.iwp, spec.cp)
+    assert (img[:, :spec.halo] == -128).all()
+    assert (img[:, spec.halo + 13:] == -128).all()
+    assert (img[:, :, :spec.col_off] == -128).all()
+    assert (img[:, :, spec.col_off + 13:] == -128).all()
+
+
+@pytest.mark.parametrize("hw,ph", [(13, 1), (13, 0), (12, 1)])
+def test_packed_conv_single(hw, ph, rng):
+    cfg, src, wei, bia, _, _ = build_cfg(2, 32, hw, 32, ph, rng=rng)
+    pop = PackedConvOp(cfg, wei, bia)
+    out = unpack_image(pop(pack_image(src, pop.sin)), pop.sout)
+    compare(out, conv_ref(cfg, src, wei, bia), f"packed hw={hw} ph={ph}")
+
+
+def test_packed_conv_fused(rng):
+    cfg, src, wei, bia, wei1, bia1 = build_cfg(2, 32, 13, 32, 1, oc1=64,
+                                               rng=rng)
+    pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    ref = conv_ref(cfg, src, wei, bia, wei1x1_s8=wei1, bias1x1=bia1)
+    out = unpack_image(pop(pack_image(src, pop.sin)), pop.sout)
+    compare(out, ref, "packed fused")
+
+
+def test_packed_conv_per_oc_scales(rng):
+    sc0 = rng.uniform(0.005, 0.05, 32).astype(np.float32)
+    sc1 = rng.uniform(0.1, 0.9, 32).astype(np.float32)
+    cfg, src, wei, bia, wei1, bia1 = build_cfg(
+        1, 32, 13, 32, 1, oc1=32, rng=rng, scales0=sc0, scales1=sc1)
+    pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    ref = conv_ref(cfg, src, wei, bia, wei1x1_s8=wei1, bias1x1=bia1)
+    out = unpack_image(pop(pack_image(src, pop.sin)), pop.sout)
+    compare(out, ref, "packed per-oc")
+
+
+def test_packed_output_is_valid_packed_image(rng):
+    """The kernel's own halo/margin/lane pads must all be -128."""
+    cfg, src, wei, bia, wei1, bia1 = build_cfg(1, 32, 13, 32, 1, oc1=32,
+                                               rng=rng)
+    pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    out = np.asarray(pop(pack_image(src, pop.sin)))
+    s = pop.sout
+    img = out.reshape(1, s.rows, s.iwp, s.cp)
+    assert (img[:, :s.halo] == -128).all(), "top halo"
+    assert (img[:, s.halo + s.h:] == -128).all(), "bottom halo"
+    assert (img[:, s.halo:s.halo + s.h, :s.col_off] == -128).all(), "left"
+    assert (img[:, s.halo:s.halo + s.h, s.col_off + s.w:] == -128).all(), \
+        "right"
+    assert (img[..., s.c:] == -128).all(), "pad lanes"
+
+
+def test_packed_chain_two_convs(rng):
+    """Back-to-back packed convs with NO glue between them: the first op's
+    output array feeds the second directly; result matches the composed
+    dense oracle."""
+    mb, c, hw = 2, 32, 13
+    cfg, src, wei, bia, wei1, bia1 = build_cfg(mb, c, hw, 64, 1, oc1=c,
+                                               rng=rng)
+    pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    # same geometry in and out -> the op chains with itself
+    assert pop.sout.array_shape(mb) == pop.sin.array_shape(mb)
+    assert pop.sout.halo == pop.sin.halo and pop.sout.iwp == pop.sin.iwp
+
+    y1 = pop(pack_image(src, pop.sin))
+    y2 = unpack_image(pop(y1), pop.sout)
+
+    mid = conv_ref(cfg, src, wei, bia, wei1x1_s8=wei1, bias1x1=bia1)
+    ref = conv_ref(cfg, mid, wei, bia, wei1x1_s8=wei1, bias1x1=bia1)
+    compare(y2, ref, "packed chain")
+
+
+def test_packed_validation_fail_fast(rng):
+    cfg, src, wei, bia, _, _ = build_cfg(1, 32, 13, 32, 1, rng=rng)
+    bad = PackedSpec.make(13, 13, 32, halo=0, col_off=1)  # halo < ph
+    with pytest.raises(CheckError):
+        PackedConvOp(cfg, wei, bia, sin=bad)
+    # stride-2 rejected
+    cfg2 = ConvConfig.make((1, 13, 13, 32), (32, 32, 3, 3), None, (2, 2),
+                           (1, 1), (1, 7, 7, 32), "u8")
+    with pytest.raises(CheckError):
+        PackedConvOp(cfg2, wei)
+    # s8 dst rejected
+    cfg3 = ConvConfig.make((1, 13, 13, 32), (32, 32, 3, 3), None, (1, 1),
+                           (1, 1), (1, 13, 13, 32), "s8")
+    with pytest.raises(CheckError):
+        PackedConvOp(cfg3, wei)
