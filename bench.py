@@ -88,9 +88,14 @@ def _timed_readback(fn, *args):
     return time.perf_counter() - t0
 
 
-def timeit_chain(step_fn, x0, iters, reps=3):
+def timeit_chain(step_fn, x0, iters, reps=5, spread_s=0.0):
     """Seconds per iteration of step_fn (x -> x, same pytree structure),
-    measured as a data-dependent scan chain with forced scalar readback."""
+    measured as a data-dependent scan chain with forced scalar readback.
+
+    The tunneled chip is shared: identical kernels measure 30-60% apart
+    depending on co-tenant load, in slow states persisting minutes. reps
+    are therefore spread over `spread_s` seconds of wall time and the best
+    is taken — the kernel's capability, not the neighbours'."""
     import jax
     import jax.numpy as jnp
 
@@ -106,7 +111,12 @@ def timeit_chain(step_fn, x0, iters, reps=3):
 
     float(chain(x0))                    # compile + warm
     rtt = measure_rtt()
-    best = min(_timed_readback(chain, x0) for _ in range(reps))
+    gap = spread_s / max(reps - 1, 1)
+    best = float("inf")
+    for r in range(reps):
+        if r and gap:
+            time.sleep(gap)
+        best = min(best, _timed_readback(chain, x0))
     return max(best - rtt, 1e-9) / iters
 
 
@@ -146,7 +156,7 @@ def bench_fused(args):
     else:
         op = PackedConvOp(cfg, wei, bia, wei1, bia1)
         x = jax.device_put(pack_image(src, op.sin))
-    sec = timeit_chain(op, x, args.iters)
+    sec = timeit_chain(op, x, args.iters, reps=8, spread_s=45)
     macs = n * hw * hw * (9 * ic * oc + oc * oc1)
     ops = 2 * macs / sec
     peak, kind = peak_ops()
@@ -268,8 +278,11 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--op", default="fused",
                    choices=["fused", "conv", "concat", "model"])
-    p.add_argument("--batch", type=int, default=16)
-    p.add_argument("--hw", type=int, default=56)
+    # default fused shape: MXU-filling channels and an alignment-friendly
+    # width (126 + 2*pad = 128 flat positions/row -> 1.6% M padding waste;
+    # hw=56 pads 58->64 and caps the kernel at 87.5% of roofline by layout)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--hw", type=int, default=126)
     p.add_argument("--ic", type=int, default=256)
     p.add_argument("--oc", type=int, default=256)
     p.add_argument("--oc1x1", type=int, default=256)

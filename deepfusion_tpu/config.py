@@ -275,10 +275,10 @@ def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
     feasible = [t for t in divisors if vmem_est(t) <= vmem_budget]
     if not feasible:
         return 1
-    for t in feasible:
-        if t * iwp >= 512:
-            return t
-    return feasible[-1]
+    # big tiles amortize per-program overheads (measured: M=1792 beats
+    # M=768 by ~5pp of roofline); cap at M=2048 to leave VMEM headroom
+    best = [t for t in feasible if t * iwp <= 2048]
+    return best[-1] if best else feasible[0]
 
 
 def replace_geometry(cfg: ConvConfig, **kw) -> ConvConfig:
