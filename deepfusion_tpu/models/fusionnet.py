@@ -24,11 +24,32 @@ from ..ops.pool import eltwise_sum_relu, pool
 from ..utils.mathutil import conv_output_size
 
 
+@dataclasses.dataclass
+class _ConvParams:
+    """One conv layer's config + raw weights (kept so the model can build
+    both the dense ConvOp and the packed-domain PackedConvOp from them)."""
+    cfg: ConvConfig
+    wei: np.ndarray
+    bia: np.ndarray
+    wei1: Optional[np.ndarray] = None
+    bia1: Optional[np.ndarray] = None
+
+    def dense(self) -> ConvOp:
+        return ConvOp(self.cfg, self.wei, self.bia, self.wei1, self.bia1)
+
+    def packed(self, row_tile, sin, col_off_out):
+        from ..ops.packed import PackedConvOp
+        cfg = dataclasses.replace(self.cfg, row_tile=row_tile)
+        return PackedConvOp(cfg, self.wei, self.bia, self.wei1, self.bia1,
+                            sin=sin, col_off_out=col_off_out)
+
+
 def _mkconv(rng, n, ih, iw, ic, oc, k, pad, stride, dst_dt, *,
             oc1x1=None, relu=True, in_std=30.0):
-    """Build a ConvOp with random int8 weights and analytically calibrated
-    scales: scale ~ 48 / std(acc) keeps u8 activations alive (neither
-    saturated nor rounded to zero) through arbitrarily deep stacks."""
+    """Build conv params with random int8 weights and analytically
+    calibrated scales: scale ~ 48 / std(acc) keeps u8 activations alive
+    (neither saturated nor rounded to zero) through arbitrarily deep
+    stacks."""
     wei = rng.integers(-16, 17, (oc, ic, k, k)).astype(np.int8)
     wei_std = 16.0 / np.sqrt(3.0)
     acc_std = np.sqrt(k * k * ic) * in_std * wei_std
@@ -43,7 +64,7 @@ def _mkconv(rng, n, ih, iw, ic, oc, k, pad, stride, dst_dt, *,
             (n, ih, iw, ic), (oc, ic, k, k), bia.dtype, (stride, stride),
             (pad, pad), (n, oh, ow, oc), dst_dt,
             conv0_relu=relu, conv0_scales=sc0)
-        return ConvOp(cfg, wei, bia), (n, oh, ow, oc)
+        return _ConvParams(cfg, wei, bia), (n, oh, ow, oc)
     wei1 = rng.integers(-16, 17, (oc1x1, oc, 1, 1)).astype(np.int8)
     acc1_std = np.sqrt(oc) * 30.0 * wei_std
     bia1 = rng.integers(-int(acc1_std * 0.05) - 1, int(acc1_std * 0.05) + 2,
@@ -56,7 +77,7 @@ def _mkconv(rng, n, ih, iw, ic, oc, k, pad, stride, dst_dt, *,
         conv0_relu=True, conv0_scales=sc0,
         wei1x1_shape=(oc1x1, oc, 1, 1), bia1x1_dt=bia1.dtype,
         conv1_relu=relu, conv1_scales=sc1)
-    return ConvOp(cfg, wei, bia, wei1, bia1), (n, oh, ow, oc1x1)
+    return _ConvParams(cfg, wei, bia, wei1, bia1), (n, oh, ow, oc1x1)
 
 
 @dataclasses.dataclass
@@ -79,27 +100,35 @@ class FusionNet:
         n, hw, c, w = cfg.batch, cfg.hw, cfg.in_ch, cfg.width
 
         # stem: conv3x3 (c -> w) + relu, u8 out; raw u8 input has std ~74
-        self.stem, s = _mkconv(rng, n, hw, hw, c, w, 3, 1, 1, "u8",
-                               in_std=74.0)
+        p_stem, s = _mkconv(rng, n, hw, hw, c, w, 3, 1, 1, "u8",
+                            in_std=74.0)
         # block1: deep-fused conv3x3+relu+conv1x1+relu (w -> w -> w)
-        self.block1, s = _mkconv(rng, n, s[1], s[2], w, w, 3, 1, 1, "u8",
-                                 oc1x1=w)
+        p_block1, s = _mkconv(rng, n, s[1], s[2], w, w, 3, 1, 1, "u8",
+                              oc1x1=w)
         # branch: 1x1 conv (w -> w) on the same input, concat along channels
-        self.branch, _ = _mkconv(rng, n, s[1], s[2], w, w, 1, 0, 1, "u8")
+        p_branch, _ = _mkconv(rng, n, s[1], s[2], w, w, 1, 0, 1, "u8")
         # fuse branches: concat+relu -> 2w channels
         # residual: 1x1 conv (2w -> 2w) summed with identity via
         # eltwise-sum+relu
-        self.res, s2 = _mkconv(rng, n, s[1], s[2], 2 * w, 2 * w, 1, 0, 1,
-                               "u8")
+        p_res, s2 = _mkconv(rng, n, s[1], s[2], 2 * w, 2 * w, 1, 0, 1,
+                            "u8")
         # downsample: maxpool 2x2/s2
         hw2 = s[1] // 2
         # block2: fused (2w -> 2w -> w)
-        self.block2, s3 = _mkconv(rng, n, hw2, hw2, 2 * w, 2 * w, 3, 1, 1,
-                                  "u8", oc1x1=w)
+        p_block2, s3 = _mkconv(rng, n, hw2, hw2, 2 * w, 2 * w, 3, 1, 1,
+                               "u8", oc1x1=w)
         # head: global avg pool (exclude pad) then 1x1 conv to f32 logits
-        self.head, _ = _mkconv(rng, n, 1, 1, w, cfg.num_classes, 1, 0, 1,
-                               "f32", relu=False)
+        p_head, _ = _mkconv(rng, n, 1, 1, w, cfg.num_classes, 1, 0, 1,
+                            "f32", relu=False)
+        self.params = dict(stem=p_stem, block1=p_block1, branch=p_branch,
+                           res=p_res, block2=p_block2, head=p_head)
+        self.stem, self.block1, self.branch = (p_stem.dense(),
+                                               p_block1.dense(),
+                                               p_branch.dense())
+        self.res, self.block2, self.head = (p_res.dense(), p_block2.dense(),
+                                            p_head.dense())
         self._stem_in_shape = (n, hw, hw, c)
+        self._packed = None
 
     @property
     def input_shape(self):
@@ -126,3 +155,68 @@ class FusionNet:
 
     def jit(self):
         return jax.jit(self.__call__)
+
+    # ------------------------------------------ packed-domain forward path
+
+    def build_packed(self):
+        """Construct the layout-persistent pipeline (ops/packed.py): every
+        stride-1 activation stays in the packed domain — conv, concat,
+        residual sum, and the 2x2 maxpool all read and write packed arrays,
+        so the only HBM relayouts in the whole model are the boundary
+        pack/unpack and the tiny global-pool head."""
+        if self._packed is not None:
+            return self._packed
+        from ..ops.packed import PackedSpec
+        n, hw, c, w = (self.cfg.batch, self.cfg.hw, self.cfg.in_ch,
+                       self.cfg.width)
+        p = self.params
+
+        def even_div(nrows, iwp, cap=2048):
+            best = 2
+            for t in range(2, nrows + 1, 2):
+                if nrows % t == 0 and t * iwp <= cap:
+                    best = t
+            return best
+
+        sin0 = PackedSpec.make(hw, hw, c, cp=p["stem"].cfg.icp,
+                               halo=1, col_off=2)
+        t1 = even_div(hw, sin0.iwp)     # even => maxpool halo stays legal
+        stem = p["stem"].packed(t1, sin0, 2)
+        block1 = p["block1"].packed(t1, stem.sout, 2)
+        branch = p["branch"].packed(t1, stem.sout, 2)
+        cat_spec = PackedSpec(h=hw, w=hw, c=2 * w, cp=2 * w, halo=t1,
+                              col_off=2, iwp=sin0.iwp)
+        res = p["res"].packed(t1, cat_spec, 2)
+        pool_spec = PackedSpec(h=hw // 2, w=hw // 2, c=2 * w, cp=2 * w,
+                               halo=t1 // 2, col_off=1, iwp=sin0.iwp // 2)
+        t2 = even_div(hw // 2, pool_spec.iwp)
+        block2 = p["block2"].packed(t2, pool_spec, 1)
+        self._packed = dict(stem=stem, block1=block1, branch=branch,
+                            res=res, block2=block2, cat_spec=cat_spec)
+        return self._packed
+
+    def packed_call(self, x_u8):
+        """Forward pass bit-identical to ``__call__`` (u8 ReLU is identity
+        through concat; max pooling and the saturating residual sum commute
+        exactly with the -128 centering — see ops/packed.py docstrings)."""
+        from ..ops.packed import (pack_image, unpack_image, packed_concat,
+                                  packed_sum_relu, packed_maxpool2)
+        P = self.build_packed()
+        x = pack_image(x_u8, P["stem"].sin, xp=jnp)
+        x = P["stem"](x)
+        a = P["block1"](x)
+        b = P["branch"](x)
+        y, cat = packed_concat([a, b], [P["block1"].sout, P["branch"].sout])
+        r = P["res"](y)
+        y = packed_sum_relu(y, r, cat)
+        y, _ = packed_maxpool2(y, cat)
+        y = P["block2"](y)
+        y = unpack_image(y, P["block2"].sout, xp=jnp)
+        y = pool(y, "avg_exc", (y.shape[1], y.shape[2]),
+                 (y.shape[1], y.shape[2]), (0, 0))
+        logits = self.head(y)
+        return logits.reshape(logits.shape[0], -1)
+
+    def jit_packed(self):
+        self.build_packed()
+        return jax.jit(self.packed_call)

@@ -273,6 +273,157 @@ def _narrow_cfg(cfg: ConvConfig) -> ConvConfig:
     return dataclasses.replace(cfg, ocp=ocp, oc1x1p=oc1x1p)
 
 
+def _same_image_geometry(specs):
+    s0 = specs[0]
+    for s in specs[1:]:
+        check((s.h, s.w, s.halo, s.col_off, s.iwp)
+              == (s0.h, s0.w, s0.halo, s0.col_off, s0.iwp),
+              "packed operands must share image geometry")
+
+
+def packed_concat(arrs, specs, post_relu: bool = True):
+    """Channel concat in the packed domain = lane concatenation.
+
+    The packed domain holds u8 images (centered to s8), and true ReLU on u8
+    is the identity, so the reference's concat+relu
+    (``src/jit_concat_kernel.cc:30-91``) costs nothing beyond the lane copy
+    here; ``post_relu`` is kept for API parity. All inputs must share image
+    geometry, and every input but the last needs ``cp == c`` so the output's
+    image lanes stay contiguous in ``[0, sum(c))``.
+
+    Returns ``(packed_array, PackedSpec)``.
+    """
+    del post_relu  # identity on u8 images (see docstring)
+    check(len(arrs) == len(specs) and len(arrs) >= 1,
+          "packed_concat needs one array per spec")
+    _same_image_geometry(specs)
+    for s in specs[:-1]:
+        check(s.cp == s.c, "packed_concat: non-final input has pad lanes "
+                           "(cp > c) which would split the output image")
+    s0, sl = specs[0], specs[-1]
+    ctot = sum(s.c for s in specs)
+    spec = PackedSpec(h=s0.h, w=s0.w, c=ctot,
+                      cp=ctot - sl.c + sl.cp, halo=s0.halo,
+                      col_off=s0.col_off, iwp=s0.iwp)
+    out = jnp.concatenate([jnp.asarray(a) for a in arrs], axis=-1)
+    return out, spec
+
+
+def _largest_divisor(n: int, cap: int) -> int:
+    for d in range(min(n, cap), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
+
+
+def _packed_sum_kernel(a_ref, b_ref, out_ref):
+    s = a_ref[...].astype(jnp.int32) + b_ref[...].astype(jnp.int32) + 128
+    out_ref[...] = jnp.clip(s, -128, 127).astype(jnp.int8)
+
+
+@jax.jit
+def _packed_sum_call(a, b):
+    n, m, cp = a.shape
+    tile = _largest_divisor(m, 4096)
+    spec = pl.BlockSpec((1, tile, cp), lambda bi, t: (bi, t, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _packed_sum_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m, cp), jnp.int8),
+        grid=(n, m // tile),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        interpret=env.interpret_kernels(),
+    )(a, b)
+
+
+def packed_sum_relu(a, b, spec: PackedSpec, with_relu: bool = True):
+    """Eltwise-sum+ReLU in the packed domain (ops/pool.py semantics).
+
+    For u8 operands the dense op is ``sat_u8(relu(xa + xb))``; since
+    xa, xb >= 0 the ReLU is the identity and the saturating sum maps to the
+    centered domain as ``clip(sa + sb + 128, -128, 127)``. Non-image slots
+    hold sa = sb = -128, which lands back on exactly -128 — so halo and
+    margins stay valid and the result needs no re-packing.
+    """
+    del with_relu  # identity for u8 operands (see docstring)
+    a, b = jnp.asarray(a), jnp.asarray(b)
+    check(a.shape == b.shape, "packed_sum_relu operand shapes differ")
+    check(a.shape == spec.array_shape(a.shape[0]),
+          "packed_sum_relu: arrays do not match spec")
+    return _packed_sum_call(a, b)
+
+
+def validate_packed_maxpool2(spec: PackedSpec):
+    check(spec.h % 2 == 0 and spec.w % 2 == 0,
+          "packed maxpool2 needs even image h and w")
+    check(spec.halo % 2 == 0 and spec.col_off % 2 == 0,
+          "packed maxpool2 needs even halo and col_off "
+          "(pass col_off_out=2 to the producing PackedConvOp)")
+    check(spec.iwp % 16 == 0, "packed maxpool2 needs iwp % 16 == 0")
+
+
+def _maxpool2_kernel(x_ref, out_ref, *, to: int, iwp: int, cp: int):
+    x = x_ref[0].astype(jnp.int32).reshape(to, 2, iwp // 2, 2, cp)
+    m = jnp.max(jnp.max(x, axis=3), axis=1)
+    out_ref[0] = m.reshape(to * (iwp // 2), cp).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("spec",))
+def _maxpool2_call(spec: PackedSpec, arr):
+    n = arr.shape[0]
+    iwp, cp = spec.iwp, spec.cp
+    rows_out = spec.rows // 2
+    to = _largest_divisor(rows_out, max(2048 // iwp, 1))
+    grid = (n, rows_out // to)
+    return pl.pallas_call(
+        functools.partial(_maxpool2_kernel, to=to, iwp=iwp, cp=cp),
+        out_shape=jax.ShapeDtypeStruct((n, rows_out * (iwp // 2), cp),
+                                       jnp.int8),
+        grid=grid,
+        in_specs=[pl.BlockSpec((1, 2 * to * iwp, cp),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, to * (iwp // 2), cp),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=env.interpret_kernels(),
+    )(arr)
+
+
+def packed_maxpool2(arr, spec: PackedSpec):
+    """2x2/stride-2 max pooling in the packed domain.
+
+    Max pooling commutes with the -128 centering shift (it is monotone), so
+    the pool runs directly on the stored s8 values: pair rows, pair flat
+    columns, take the max — a single reshape-max Pallas kernel with no
+    relayout. Legality: h, w, halo, col_off all even (so 2x2 windows align
+    with the image region and halo/margins map to halo/margins) and
+    iwp % 16 == 0 (so the halved row stays sublane-aligned). Non-image
+    slots pool to max(-128, ...) = -128, keeping the output a valid packed
+    image with ``halo/2``, ``col_off/2``, ``iwp/2``.
+
+    Returns ``(packed_array, PackedSpec)``.
+    """
+    validate_packed_maxpool2(spec)
+    arr = jnp.asarray(arr)
+    check(arr.shape == spec.array_shape(arr.shape[0]),
+          "packed_maxpool2: array does not match spec")
+    out_spec = PackedSpec(h=spec.h // 2, w=spec.w // 2, c=spec.c, cp=spec.cp,
+                          halo=spec.halo // 2, col_off=spec.col_off // 2,
+                          iwp=spec.iwp // 2)
+    return _maxpool2_call(spec, arr), out_spec
+
+
+@functools.partial(jax.jit, static_argnames=("sin", "sout"))
+def repack(arr, sin: PackedSpec, sout: PackedSpec):
+    """Convert between packed specs of the same logical image (XLA glue;
+    use only at geometry seams the fused ops above cannot bridge)."""
+    check((sin.h, sin.w, sin.c) == (sout.h, sout.w, sout.c),
+          "repack cannot change the logical image")
+    return pack_image(unpack_image(arr, sin, xp=jnp), sout, xp=jnp)
+
+
 class PackedConvOp:
     """A conv op whose activations stay in the packed domain.
 

@@ -31,3 +31,15 @@ def test_input_sensitivity(small_net):
     a = np.asarray(small_net(small_net.example_input(rng)))
     b = np.asarray(small_net(small_net.example_input(rng)))
     assert not np.array_equal(a, b)
+
+
+def test_packed_path_bit_identical():
+    """The layout-persistent forward (packed_call) must produce bitwise the
+    same logits as the dense op-by-op path."""
+    from deepfusion_tpu.models import FusionNet, FusionNetConfig
+    net = FusionNet(FusionNetConfig(batch=2, hw=24, in_ch=32, width=64,
+                                    num_classes=32))
+    x = net.example_input()
+    dense = np.asarray(net(x))
+    packed = np.asarray(net.jit_packed()(x))
+    np.testing.assert_array_equal(dense, packed)

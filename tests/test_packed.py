@@ -135,3 +135,88 @@ def test_packed_validation_fail_fast(rng):
                            (1, 1), (1, 13, 13, 32), "s8")
     with pytest.raises(CheckError):
         PackedConvOp(cfg3, wei)
+
+
+# ------------------------------------------------ packed-domain glue ops
+
+def _rand_packed(rng, spec, n=2):
+    """A random u8 image packed to spec, plus the dense original."""
+    src = fill_data((n, spec.h, spec.w, spec.c), "u8", rng)
+    return src, pack_image(src, spec)
+
+
+def test_packed_concat_matches_oracle(rng):
+    from deepfusion_tpu.ops.packed import packed_concat
+    from deepfusion_tpu.ops.ref import concat_relu_ref
+    spec = PackedSpec.make(8, 12, 32, halo=2, col_off=2)
+    a, pa = _rand_packed(rng, spec)
+    b, pb = _rand_packed(rng, spec)
+    out, ospec = packed_concat([pa, pb], [spec, spec], post_relu=True)
+    assert (ospec.c, ospec.cp) == (64, 64)
+    compare(unpack_image(np.asarray(out), ospec),
+            concat_relu_ref([a, b], True), "packed concat")
+
+
+def test_packed_concat_rejects_mid_pad_lanes(rng):
+    from deepfusion_tpu.ops.packed import packed_concat
+    s_pad = PackedSpec.make(8, 12, 20, halo=2, col_off=2)  # cp=32 > c=20
+    _, pa = _rand_packed(rng, s_pad)
+    with pytest.raises(CheckError):
+        packed_concat([pa, pa], [s_pad, s_pad])
+
+
+def test_packed_sum_relu_matches_oracle(rng):
+    from deepfusion_tpu.ops.packed import packed_sum_relu
+    from deepfusion_tpu.ops.ref import eltwise_sum_relu_ref
+    spec = PackedSpec.make(6, 10, 32, halo=2, col_off=2)
+    # saturating range: use full-range u8 values
+    a = rng.integers(0, 256, (2, 6, 10, 32), np.uint8)
+    b = rng.integers(0, 256, (2, 6, 10, 32), np.uint8)
+    out = np.asarray(packed_sum_relu(pack_image(a, spec),
+                                     pack_image(b, spec), spec))
+    compare(unpack_image(out, spec), eltwise_sum_relu_ref(a, b, True),
+            "packed sum")
+    # halo/margins still valid
+    img = out.reshape(2, spec.rows, spec.iwp, spec.cp)
+    assert (img[:, :spec.halo] == -128).all()
+    assert (img[:, :, :spec.col_off] == -128).all()
+    assert (img[:, :, spec.col_off + spec.w:] == -128).all()
+
+
+def test_packed_maxpool2_matches_oracle(rng):
+    from deepfusion_tpu.ops.packed import packed_maxpool2
+    from deepfusion_tpu.config import PoolConfig
+    from deepfusion_tpu.ops.ref import pool_ref
+    spec = PackedSpec.make(8, 12, 32, halo=2, col_off=2, iwp=16)
+    src = rng.integers(0, 256, (2, 8, 12, 32), np.uint8)
+    out, ospec = packed_maxpool2(pack_image(src, spec), spec)
+    assert (ospec.h, ospec.w, ospec.halo, ospec.col_off, ospec.iwp) == \
+        (4, 6, 1, 1, 8)
+    pc = PoolConfig.make("max", (8, 12), (2, 2), (2, 2), (0, 0))
+    compare(unpack_image(np.asarray(out), ospec), pool_ref(src, pc),
+            "packed maxpool2")
+    img = np.asarray(out).reshape(2, ospec.rows, ospec.iwp, ospec.cp)
+    assert (img[:, :ospec.halo] == -128).all()
+    assert (img[:, :, :ospec.col_off] == -128).all()
+
+
+def test_packed_maxpool2_validation(rng):
+    from deepfusion_tpu.ops.packed import packed_maxpool2
+    spec = PackedSpec.make(7, 12, 32, halo=2, col_off=2, iwp=16)  # odd h
+    _, pa = _rand_packed(rng, spec)
+    with pytest.raises(CheckError):
+        packed_maxpool2(pa, spec)
+    spec2 = PackedSpec.make(8, 12, 32, halo=2, col_off=1, iwp=16)  # odd off
+    _, pb = _rand_packed(rng, spec2)
+    with pytest.raises(CheckError):
+        packed_maxpool2(pb, spec2)
+
+
+def test_repack(rng):
+    from deepfusion_tpu.ops.packed import repack
+    s1 = PackedSpec.make(5, 9, 24, halo=1, col_off=1)
+    s2 = PackedSpec.make(5, 9, 24, cp=64, halo=3, col_off=4, iwp=24)
+    src, pa = _rand_packed(rng, s1)
+    out = np.asarray(repack(pa, s1, s2))
+    assert out.shape == s2.array_shape(2)
+    np.testing.assert_array_equal(unpack_image(out, s2), src)
