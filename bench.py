@@ -258,15 +258,19 @@ def bench_model(args):
     net = FusionNet(FusionNetConfig(batch=args.batch, hw=56, in_ch=32,
                                     width=128, num_classes=128))
     x0 = jax.device_put(net.example_input())
+    # dense op-by-op is the faster model path at this scale today (the
+    # packed-domain chain wins per-op on convs but loses on the small-
+    # tensor glue); --packed opts into the layout-persistent path
+    fwd = net.packed_call if args.packed else net.__call__
 
     def step(x):
-        out = net(x)
+        out = fwd(x)
         # fold the logits checksum back into the input: keeps the chain
         # data-dependent without changing the measured model cost
         bump = (out.astype(jnp.int32).sum() & 1).astype(jnp.uint8)
         return x + bump
 
-    sec = timeit_chain(step, x0, args.iters)
+    sec = timeit_chain(step, x0, args.iters, reps=8, spread_s=45)
     imgs = args.batch / sec
     print(f"# fusionnet {sec*1e3:.3f} ms/iter {imgs:.0f} imgs/s",
           file=sys.stderr)
@@ -293,6 +297,9 @@ def main():
     p.add_argument("--dense", action="store_true",
                    help="fused: time the dense-in/dense-out op instead of "
                         "the packed-domain chain")
+    p.add_argument("--packed", action="store_true",
+                   help="model: time the layout-persistent packed path "
+                        "instead of the dense op-by-op path")
     args = p.parse_args()
     _enable_compile_cache()
     result = {"fused": bench_fused, "conv": bench_conv,

@@ -37,11 +37,11 @@ class _ConvParams:
     def dense(self) -> ConvOp:
         return ConvOp(self.cfg, self.wei, self.bia, self.wei1, self.bia1)
 
-    def packed(self, row_tile, sin, col_off_out):
+    def packed(self, sin, col_off_out, halo_out):
         from ..ops.packed import PackedConvOp
-        cfg = dataclasses.replace(self.cfg, row_tile=row_tile)
-        return PackedConvOp(cfg, self.wei, self.bia, self.wei1, self.bia1,
-                            sin=sin, col_off_out=col_off_out)
+        return PackedConvOp(self.cfg, self.wei, self.bia, self.wei1,
+                            self.bia1, sin=sin, col_off_out=col_off_out,
+                            halo_out=halo_out)
 
 
 def _mkconv(rng, n, ih, iw, ic, oc, k, pad, stride, dst_dt, *,
@@ -167,49 +167,44 @@ class FusionNet:
         if self._packed is not None:
             return self._packed
         from ..ops.packed import PackedSpec
-        n, hw, c, w = (self.cfg.batch, self.cfg.hw, self.cfg.in_ch,
-                       self.cfg.width)
+        hw, c, w = self.cfg.hw, self.cfg.in_ch, self.cfg.width
         p = self.params
 
-        def even_div(nrows, iwp, cap=2048):
-            best = 2
-            for t in range(2, nrows + 1, 2):
-                if nrows % t == 0 and t * iwp <= cap:
-                    best = t
-            return best
-
+        # Halo budget (erosion scheme): each 3x3 conv consumes one halo row
+        # (halo_out = halo_in - ph), so no boundary tile ever reads out of
+        # bounds and the kernels compile with zero roll branches. The 2x2
+        # maxpool needs its input halo even; the chain 4 -> 3 -> 2(even)
+        # -> pool -> 1 -> 0 satisfies every consumer exactly.
         sin0 = PackedSpec.make(hw, hw, c, cp=p["stem"].cfg.icp,
-                               halo=1, col_off=2)
-        t1 = even_div(hw, sin0.iwp)     # even => maxpool halo stays legal
-        stem = p["stem"].packed(t1, sin0, 2)
-        block1 = p["block1"].packed(t1, stem.sout, 2)
-        branch = p["branch"].packed(t1, stem.sout, 2)
-        cat_spec = PackedSpec(h=hw, w=hw, c=2 * w, cp=2 * w, halo=t1,
-                              col_off=2, iwp=sin0.iwp)
-        res = p["res"].packed(t1, cat_spec, 2)
+                               halo=4, col_off=2)
+        stem = p["stem"].packed(sin0, 2, 3)
+        block1 = p["block1"].packed(stem.sout, 2, 2)
+        branch = p["branch"].packed(stem.sout, 2, 2)
+        # concat-free branch merge: the 1x1 residual conv reads both
+        # branches as K-segments, and the fused sum+pool joins them in
+        # VMEM — the 2w-channel concat never exists in HBM
+        res = p["res"].packed((block1.sout, branch.sout), 2, 2)
         pool_spec = PackedSpec(h=hw // 2, w=hw // 2, c=2 * w, cp=2 * w,
-                               halo=t1 // 2, col_off=1, iwp=sin0.iwp // 2)
-        t2 = even_div(hw // 2, pool_spec.iwp)
-        block2 = p["block2"].packed(t2, pool_spec, 1)
+                               halo=1, col_off=1, iwp=sin0.iwp // 2)
+        block2 = p["block2"].packed(pool_spec, 1, 0)
         self._packed = dict(stem=stem, block1=block1, branch=branch,
-                            res=res, block2=block2, cat_spec=cat_spec)
+                            res=res, block2=block2)
         return self._packed
 
     def packed_call(self, x_u8):
         """Forward pass bit-identical to ``__call__`` (u8 ReLU is identity
         through concat; max pooling and the saturating residual sum commute
         exactly with the -128 centering — see ops/packed.py docstrings)."""
-        from ..ops.packed import (pack_image, unpack_image, packed_concat,
-                                  packed_sum_relu, packed_maxpool2)
+        from ..ops.packed import (pack_image, unpack_image,
+                                  packed_sum_relu_maxpool2)
         P = self.build_packed()
         x = pack_image(x_u8, P["stem"].sin, xp=jnp)
         x = P["stem"](x)
         a = P["block1"](x)
         b = P["branch"](x)
-        y, cat = packed_concat([a, b], [P["block1"].sout, P["branch"].sout])
-        r = P["res"](y)
-        y = packed_sum_relu(y, r, cat)
-        y, _ = packed_maxpool2(y, cat)
+        r = P["res"]((a, b))
+        y, _ = packed_sum_relu_maxpool2(
+            (a, b), r, (P["block1"].sout, P["branch"].sout), P["res"].sout)
         y = P["block2"](y)
         y = unpack_image(y, P["block2"].sout, xp=jnp)
         y = pool(y, "avg_exc", (y.shape[1], y.shape[2]),

@@ -23,14 +23,17 @@ is stored as an int8 array of shape ``(N, (H + 2*halo) * iwp, cp)`` where
 
 The packed conv kernel (stride 1, u8 destination) then:
 
-* slices its KH row blocks straight out of the incoming packed array
-  (``halo >= ph`` guarantees in-bounds),
+* slices its KH row blocks straight out of the incoming packed array,
 * applies the kw taps as output-side ``pltpu.roll`` shifts exactly like
   ops/conv.py,
-* writes **its own halo**: the grid has two extra row-tile programs that
-  emit -128 pad blocks, and the epilogue masks non-image columns/lanes to
-  -128 — so the output is a valid packed image with ``halo = row_tile``,
-  ready to be consumed by the next conv with no XLA glue at all.
+* writes **its own halo**: the grid covers the output's padded row space
+  uniformly and the epilogue masks pad rows / margin columns / pad lanes
+  to -128 — so the output is a valid packed image with a caller-chosen
+  ``halo_out``, ready for the next conv with no XLA glue at all. Boundary
+  tiles whose read window would poke past the input clamp it and un-shift
+  the result with a static roll (wrapped rows land in masked pad rows);
+  choosing ``halo_in = halo_out + ph`` ("halo erosion") makes every
+  window in-bounds and removes the roll branches entirely.
 
 Steady-state cost per fused conv = one HBM read of the packed input + one
 HBM write of the packed output + the MXU work. ``pack_image`` /
@@ -114,114 +117,195 @@ def unpack_image(arr, spec: PackedSpec, xp=np):
     return (img.astype(xp.int16) + 128).astype(xp.uint8)
 
 
-def validate_packed_conv(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec):
-    """Legality of running cfg from sin to sout (init_conf-style checks)."""
+def _boundary_offs(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec):
+    """Static row offsets by which the first/last row-tile's input window
+    runs out of bounds. The kernel clamps the window and un-shifts the
+    result with a static roll; the wrapped rows land in masked pad rows.
+
+    With output flat row j reading input flat rows j + delta - ph + ki
+    (ki < kh) and oh = ih + 2*ph - kh + 1, the top underflow and the bottom
+    overflow are both exactly max(0, ph - delta)."""
+    delta = sin.halo - sout.halo
+    off = max(0, cfg.ph - delta)
+    return off, off
+
+
+def validate_packed_conv(cfg: ConvConfig, sins, sout: PackedSpec):
+    """Legality of running cfg from sins to sout (init_conf-style checks).
+
+    sins is a tuple of input specs: a single entry for a plain conv, or
+    several whose lane-concatenation forms the conv input (concat-free
+    branch merge — the kernel reads each source separately and joins them
+    in VMEM, so the channel concat never exists in HBM)."""
+    sins = sins if isinstance(sins, (tuple, list)) else (sins,)
+    sin = sins[0]
+    for s in sins[1:]:
+        check((s.h, s.w, s.halo, s.col_off, s.iwp)
+              == (sin.h, sin.w, sin.halo, sin.col_off, sin.iwp),
+              "multi-input packed conv needs uniform image geometry")
+    for s in sins[:-1]:
+        check(s.cp == s.c, "non-final input has pad lanes (cp > c) which "
+                           "would split the conv input's image lanes")
     check(cfg.sh == 1 and cfg.sw == 1, "packed path requires stride 1")
     check(cfg.dst_dt == dtype.u8, "packed path requires a u8 destination")
     check(not cfg.with_sum, "packed path does not take a sum post-op yet")
-    check((sin.h, sin.w, sin.c) == (cfg.ih, cfg.iw, cfg.ic),
+    check((sin.h, sin.w) == (cfg.ih, cfg.iw),
           "input spec does not match conv geometry")
+    check(sum(s.c for s in sins) == cfg.ic,
+          "input channels must sum to cfg.ic")
+    check(sum(s.cp for s in sins) == cfg.icp,
+          "input lane padding must sum to cfg.icp")
     out_c = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
     check((sout.h, sout.w, sout.c) == (cfg.oh, cfg.ow, out_c),
           "output spec does not match conv geometry")
-    check(sin.cp == cfg.icp, "input lane padding must match cfg.icp")
     ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
     check(sout.cp == ocp_out, "output lane padding must match cfg")
-    check(sin.halo >= max(cfg.ph, cfg.kh - 1 - cfg.ph),
-          "input halo too small for kernel height")
+    check(sin.halo >= cfg.ph, "input halo too small for kernel height")
     check(sin.col_off >= cfg.pw, "input col_off too small for kernel width")
     check(sin.iwp - sin.col_off - sin.w >= cfg.kw - 1 - cfg.pw,
           "input right margin too small for kernel width")
     # the kw-as-roll identity requires equal row strides in and out
     check(sin.iwp == sout.iwp, "packed conv needs iwp_in == iwp_out")
-    check(cfg.oh % cfg.row_tile == 0, "row_tile must divide oh")
-    check(sout.halo == cfg.row_tile,
-          "packed conv emits halo == row_tile (pad tiles are whole tiles)")
+    t = cfg.row_tile
+    check(sout.rows % t == 0, "row_tile must divide oh + 2*out halo")
+    check(sin.rows >= t + cfg.kh - 1,
+          "input too short for one row-tile window")
+    off_top, off_bot = _boundary_offs(cfg, sin, sout)
+    # rolled wrap rows must land in output pad rows, clamping must engage
+    # only at the extreme tiles, and the two boundary branches must not
+    # share a tile
+    check(off_top <= sout.halo and off_bot <= sout.halo,
+          "output halo too small to absorb boundary roll")
+    check(off_top <= t and off_bot <= t,
+          "row_tile smaller than boundary overlap")
+    if off_top or off_bot:
+        check(sout.rows // t >= 2,
+              "boundary rolls need at least two row tiles "
+              "(raise input halo or lower row_tile)")
 
 
-def _packed_kernel(*refs, cfg: ConvConfig, sin: PackedSpec,
-                   sout: PackedSpec):
+def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
+    n_src = len(sins)
+    sin = sins[0]
+    src_refs, refs = refs[:n_src], refs[n_src:]
     if cfg.fuse_conv1x1:
-        (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
+        (w3_ref, corr0_ref, bias0_ref, scale0_ref,
          w1_ref, corr1_ref, bias1_ref, scale1_ref, out_ref) = refs
     else:
-        src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref, out_ref = refs
+        w3_ref, corr0_ref, bias0_ref, scale0_ref, out_ref = refs
         w1_ref = None
     T = cfg.row_tile
     iwp = sin.iwp
     m = T * iwp
-    ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
     t = pl.program_id(1)
     nt = pl.num_programs(1)
     interp = env.interpret_kernels()
-    is_pad_tile = jnp.logical_or(t == 0, t == nt - 1)
+    # The grid covers the output's padded row space uniformly — pad rows
+    # are computed like image rows and masked to -128 at store. Tile t
+    # writes output flat rows [t*T, t*T + T); tap ki of output flat row j
+    # reads input flat row j + delta - ph + ki (delta re-bases between the
+    # two halo sizes). At the extreme tiles that window can poke out of the
+    # input by the static off_top/off_bot rows; the window is clamped
+    # in-bounds and the result un-shifted with a static roll whose wrapped
+    # rows land in masked pad rows (validate_packed_conv guarantees both).
+    delta = sin.halo - sout.halo
+    off_top, off_bot = _boundary_offs(cfg, sin, sout)
+    s0 = t * T + delta - cfg.ph
+    if off_top or off_bot:
+        s0 = jnp.clip(s0, 0, sin.rows - (T + cfg.kh - 1))
+    blocks = []
+    for ki in range(cfg.kh):
+        base = pl.multiple_of((s0 + ki) * iwp, 8)
+        if n_src == 1:
+            blocks.append(src_refs[0][0, pl.ds(base, m), :])
+        else:
+            # lane-concat the sources in VMEM: weight K rows are ordered
+            # (ki, src0 lanes..., src1 lanes...), matching cfg.ic layout
+            blocks.append(jnp.concatenate(
+                [r[0, pl.ds(base, m), :] for r in src_refs], axis=-1))
+    patch = jnp.concatenate(blocks, axis=-1)   # (m, kh*icp)
+    ksub = cfg.kh * cfg.icp
+    acc = None
+    for kj in range(cfg.kw):
+        part = jnp.dot(patch, w3_ref[kj * ksub:(kj + 1) * ksub, :],
+                       preferred_element_type=jnp.int32)
+        # out flat col c holds image col (c - col_off_out); it reads the
+        # kj tap of input flat col c + d:
+        d = sin.col_off - sout.col_off + kj - cfg.pw
+        if d % m:
+            part = (jnp.roll(part, -d, 0) if interp
+                    else pltpu.roll(part, (m - d) % m, 0))
+        acc = part if acc is None else acc + part
+    acc = acc + corr0_ref[...]
 
-    @pl.when(is_pad_tile)
-    def _():
-        out_ref[0] = jnp.full((m, ocp_out), -128, jnp.int8)
+    # Non-image slots must come out as exactly -128 (u8 zero) so the
+    # output is a valid packed image. An int8 select at store time is
+    # pathologically slow on the VPU (~35% of kernel runtime measured),
+    # so instead: (a) pad lanes — the packed scale vectors hold 0.0 in
+    # lanes >= oc, so the epilogue lands on round(0)-128 for free;
+    # (b) margin columns and pad rows — a tiny (m, 1) f32 0/1 mask
+    # multiplied into the final f32 chain before rounding.
+    pos = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    col = pos % iwp
+    row = t * T + pos // iwp
+    maskf = (jnp.logical_and(
+        jnp.logical_and(col >= sout.col_off, col < sout.col_off + cfg.ow),
+        jnp.logical_and(row >= sout.halo, row < sout.halo + cfg.oh))
+        ).astype(jnp.float32)
 
-    @pl.when(jnp.logical_not(is_pad_tile))
-    def _():
-        j0 = (jnp.maximum(t, 1) - 1) * T          # output image row base
-        base0 = j0 + (sin.halo - cfg.ph)
-        blocks = []
-        for ki in range(cfg.kh):
-            base = pl.multiple_of((base0 + ki) * iwp, 8)
-            blocks.append(src_ref[0, pl.ds(base, m), :])
-        patch = jnp.concatenate(blocks, axis=-1)   # (m, kh*icp)
-        ksub = cfg.kh * cfg.icp
-        acc = None
-        for kj in range(cfg.kw):
-            part = jnp.dot(patch, w3_ref[kj * ksub:(kj + 1) * ksub, :],
-                           preferred_element_type=jnp.int32)
-            # out flat col c holds image col (c - col_off_out); it reads the
-            # kj tap of input flat col c + d:
-            d = sin.col_off - sout.col_off + kj - cfg.pw
-            if d % m:
-                part = (jnp.roll(part, -d, 0) if interp
-                        else pltpu.roll(part, (m - d) % m, 0))
-            acc = part if acc is None else acc + part
-        acc = acc + corr0_ref[...]
-        # Non-image slots must come out as exactly -128 (u8 zero) so the
-        # output is a valid packed image. An int8 select at store time is
-        # pathologically slow on the VPU (~35% of kernel runtime measured),
-        # so instead: (a) pad lanes — the packed scale vectors hold 0.0 in
-        # lanes >= oc, so the epilogue lands on round(0)-128 for free;
-        # (b) margin columns — a tiny (m, 1) f32 0/1 mask multiplied into
-        # the final f32 chain before rounding.
-        colid = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % iwp
-        colmask = jnp.logical_and(colid >= sout.col_off,
-                                  colid < sout.col_off + cfg.ow
-                                  ).astype(jnp.float32)
+    def epilogue(acc_t):
         if cfg.fuse_conv1x1:
             x1 = requant_to_u8_centered(
-                acc, bias0_ref[...] if cfg.conv0_with_bias else None,
+                acc_t, bias0_ref[...] if cfg.conv0_with_bias else None,
                 scale0_ref[...], cfg.conv0_round)
             acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
             acc1 = acc1 + corr1_ref[...]
-            q = requant_to_u8_centered(
+            out_ref[0] = requant_to_u8_centered(
                 acc1, bias1_ref[...] if cfg.conv1_with_bias else None,
-                scale1_ref[...], cfg.conv1_round, zero_mask=colmask)
+                scale1_ref[...], cfg.conv1_round, zero_mask=maskf)
         else:
-            q = requant_to_u8_centered(
-                acc, bias0_ref[...] if cfg.conv0_with_bias else None,
-                scale0_ref[...], cfg.conv0_round, zero_mask=colmask)
-        out_ref[0] = q
+            out_ref[0] = requant_to_u8_centered(
+                acc_t, bias0_ref[...] if cfg.conv0_with_bias else None,
+                scale0_ref[...], cfg.conv0_round, zero_mask=maskf)
+
+    def rolled(r):
+        shift = (r * iwp) % m
+        return jnp.roll(acc, shift, 0) if interp \
+            else pltpu.roll(acc, shift, 0)
+
+    if not off_top and not off_bot:
+        epilogue(acc)
+        return
+    branches = []
+    if off_top:
+        branches.append((t == 0, off_top))
+    if off_bot:
+        branches.append((t == nt - 1, -off_bot))
+    interior = None
+    for cond, r in branches:
+        @pl.when(cond)
+        def _(r=r):
+            epilogue(rolled(r))
+        interior = jnp.logical_not(cond) if interior is None else \
+            jnp.logical_and(interior, jnp.logical_not(cond))
+    pl.when(interior)(lambda: epilogue(acc))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sin", "sout"))
-def _packed_call(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec,
-                 arr, *operands):
-    n = arr.shape[0]
+@functools.partial(jax.jit, static_argnames=("cfg", "sins", "sout"))
+def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
+                 arrs, *operands):
+    sin = sins[0]
+    n = arrs[0].shape[0]
     T = cfg.row_tile
     iwp = sin.iwp
     m = T * iwp
     ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
     k_dim = cfg.kh * cfg.kw * cfg.icp
-    grid = (n, cfg.oh // T + 2)
+    grid = (n, sout.rows // T)
 
-    src_spec = pl.BlockSpec((1, sin.rows * iwp, cfg.icp),
-                            lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
+    src_specs = [pl.BlockSpec((1, s.rows * iwp, s.cp),
+                              lambda b, t: (b, 0, 0),
+                              memory_space=pltpu.VMEM) for s in sins]
     w3_spec = pl.BlockSpec((k_dim, cfg.ocp), lambda b, t: (0, 0),
                            memory_space=pltpu.VMEM)
 
@@ -229,7 +313,8 @@ def _packed_call(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec,
         return pl.BlockSpec((1, nlanes), lambda b, t: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = [src_spec, w3_spec, vec(cfg.ocp), vec(cfg.ocp), vec(cfg.ocp)]
+    in_specs = src_specs + [w3_spec, vec(cfg.ocp), vec(cfg.ocp),
+                            vec(cfg.ocp)]
     if cfg.fuse_conv1x1:
         in_specs += [pl.BlockSpec((cfg.ocp, cfg.oc1x1p), lambda b, t: (0, 0),
                                   memory_space=pltpu.VMEM),
@@ -245,17 +330,17 @@ def _packed_call(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec,
 
     operands = [op.reshape(1, -1) if op.ndim == 1 else op for op in operands]
     return pl.pallas_call(
-        functools.partial(_packed_kernel, cfg=cfg, sin=sin, sout=sout),
+        functools.partial(_packed_kernel, cfg=cfg, sins=sins, sout=sout),
         out_shape=jax.ShapeDtypeStruct(sout.array_shape(n), jnp.int8),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         cost_estimate=pl.CostEstimate(
-            flops=flops * grid[0] * (grid[1] - 2),
+            flops=flops * grid[0] * grid[1],
             bytes_accessed=nbytes * grid[0] * grid[1],
             transcendentals=0),
         interpret=env.interpret_kernels(),
-    )(arr, *operands)
+    )(*arrs, *operands)
 
 
 def _narrow_cfg(cfg: ConvConfig) -> ConvConfig:
@@ -415,6 +500,78 @@ def packed_maxpool2(arr, spec: PackedSpec):
     return _maxpool2_call(spec, arr), out_spec
 
 
+def _sum_pool_kernel(*refs, to: int, iwp: int):
+    src_refs, r_ref, out_ref = refs[:-2], refs[-2], refs[-1]
+    parts = [r[0] for r in src_refs]
+    y = (parts[0] if len(parts) == 1
+         else jnp.concatenate(parts, axis=-1)).astype(jnp.int32)
+    s = y + r_ref[0].astype(jnp.int32) + 128
+    s = jnp.clip(s, -128, 127)          # saturating u8 sum, centered
+    cp = s.shape[-1]
+    x = s.reshape(to, 2, iwp // 2, 2, cp)
+    m = jnp.max(jnp.max(x, axis=3), axis=1)
+    out_ref[0] = m.reshape(to * (iwp // 2), cp).astype(jnp.int8)
+
+
+@functools.partial(jax.jit, static_argnames=("yspecs", "rspec"))
+def _sum_pool_call(yspecs, rspec: PackedSpec, ys, r):
+    n = r.shape[0]
+    iwp = rspec.iwp
+    rows_out = rspec.rows // 2
+    to = _largest_divisor(rows_out, max(2048 // iwp, 1))
+    grid = (n, rows_out // to)
+
+    def blk(cp):
+        return pl.BlockSpec((1, 2 * to * iwp, cp), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_sum_pool_kernel, to=to, iwp=iwp),
+        out_shape=jax.ShapeDtypeStruct(
+            (n, rows_out * (iwp // 2), rspec.cp), jnp.int8),
+        grid=grid,
+        in_specs=[blk(s.cp) for s in yspecs] + [blk(rspec.cp)],
+        out_specs=pl.BlockSpec((1, to * (iwp // 2), rspec.cp),
+                               lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=env.interpret_kernels(),
+    )(*ys, r)
+
+
+def packed_sum_relu_maxpool2(ys, r, yspecs, rspec: PackedSpec,
+                             with_relu: bool = True):
+    """Fused (concat ∘ sum+ReLU ∘ 2x2/s2 maxpool) in the packed domain.
+
+    ``ys`` is a list of packed arrays whose lane-concatenation forms the
+    left sum operand (the branch-merge concat never exists in HBM) and
+    ``r`` the right operand. Semantics = ``packed_maxpool2(packed_sum_relu(
+    packed_concat(ys), r))``: the saturating clip commutes with the
+    monotone max, and pooling in the already-widened int32 domain removes
+    both the pool's HBM round-trip and its separate widening pass — the
+    same fusion philosophy as the reference's planned conv+sum+relu+pool
+    post-op chain (test/test_conv_relu_pooling.cc:313-391).
+    """
+    del with_relu  # identity for u8 operands (see packed_sum_relu)
+    yspecs = tuple(yspecs) if isinstance(yspecs, (tuple, list)) \
+        else (yspecs,)
+    ys = [jnp.asarray(a) for a in (ys if isinstance(ys, (tuple, list))
+                                   else (ys,))]
+    r = jnp.asarray(r)
+    check(len(ys) == len(yspecs), "one array per spec")
+    _same_image_geometry(list(yspecs) + [rspec])
+    for s in yspecs[:-1]:
+        check(s.cp == s.c, "non-final input has pad lanes (cp > c)")
+    check(sum(s.cp for s in yspecs) == rspec.cp,
+          "summed lane widths must match the right operand")
+    check(sum(s.c for s in yspecs) == rspec.c,
+          "summed channels must match the right operand")
+    validate_packed_maxpool2(rspec)
+    out_spec = PackedSpec(h=rspec.h // 2, w=rspec.w // 2, c=rspec.c,
+                          cp=rspec.cp, halo=rspec.halo // 2,
+                          col_off=rspec.col_off // 2, iwp=rspec.iwp // 2)
+    return _sum_pool_call(yspecs, rspec, tuple(ys), r), out_spec
+
+
 @functools.partial(jax.jit, static_argnames=("sin", "sout"))
 def repack(arr, sin: PackedSpec, sout: PackedSpec):
     """Convert between packed specs of the same logical image (XLA glue;
@@ -437,10 +594,9 @@ class PackedConvOp:
 
     def __init__(self, cfg: ConvConfig, wei, bia=None, wei1x1=None,
                  bia1x1=None, sin: PackedSpec = None,
-                 col_off_out: int = None):
+                 col_off_out: int = None, halo_out: int = None):
         from . import layout
         cfg = _narrow_cfg(cfg)
-        self.cfg = cfg
         packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
         # pad lanes must produce exactly -128: zero their scales so the
         # epilogue's f32 chain lands on round(0)-128 without any select
@@ -453,18 +609,48 @@ class PackedConvOp:
         self._operands = [jnp.asarray(packed[k]) for k in keys]
         out_c = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
         ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
+        min_halo = max(cfg.ph, 1)
         if sin is None:
             sin = PackedSpec.make(cfg.ih, cfg.iw, cfg.ic, cp=cfg.icp,
-                                  halo=cfg.row_tile, col_off=max(cfg.pw, 1))
+                                  halo=min_halo, col_off=max(cfg.pw, 1))
+        sins = tuple(sin) if isinstance(sin, (tuple, list)) else (sin,)
+        sin = sins[0]
         if col_off_out is None:
             col_off_out = max(cfg.pw, 1)
+        if halo_out is None:
+            # self-chain-friendly default: mirror the input halo
+            halo_out = sin.halo
         sout = PackedSpec(h=cfg.oh, w=cfg.ow, c=out_c, cp=ocp_out,
-                          halo=cfg.row_tile, col_off=col_off_out,
+                          halo=halo_out, col_off=col_off_out,
                           iwp=sin.iwp)
-        validate_packed_conv(cfg, sin, sout)
-        self.sin = sin
+        # row_tile must divide the padded output rows; re-pick for the
+        # packed geometry (largest tile with MXU-friendly M <= 2048,
+        # leaving >= 2 tiles when boundary rolls are in play)
+        off_top, off_bot = _boundary_offs(cfg, sin, sout)
+        need_two = bool(off_top or off_bot)
+        tmax = max(2048 // sin.iwp, 1)
+        rt = cfg.row_tile
+        if (sout.rows % rt or rt * sin.iwp > 2048
+                or (need_two and sout.rows // rt < 2)
+                or rt < max(off_top, off_bot)):
+            cands = [d for d in range(1, sout.rows + 1)
+                     if sout.rows % d == 0 and d <= tmax
+                     and d >= max(off_top, off_bot)
+                     and (not need_two or sout.rows // d >= 2)]
+            check(bool(cands), "no legal row_tile for packed geometry")
+            rt = cands[-1]
+        cfg = dataclasses.replace(cfg, row_tile=rt)
+        self.cfg = cfg
+        validate_packed_conv(cfg, sins, sout)
+        self.sins = sins
+        self.sin = sins[0]
         self.sout = sout
 
     def __call__(self, packed_arr):
-        return _packed_call(self.cfg, self.sin, self.sout,
-                            jnp.asarray(packed_arr), *self._operands)
+        arrs = (tuple(jnp.asarray(a) for a in packed_arr)
+                if isinstance(packed_arr, (tuple, list))
+                else (jnp.asarray(packed_arr),))
+        check(len(arrs) == len(self.sins),
+              "op expects one array per input spec")
+        return _packed_call(self.cfg, self.sins, self.sout,
+                            arrs, *self._operands)

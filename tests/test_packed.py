@@ -220,3 +220,44 @@ def test_repack(rng):
     out = np.asarray(repack(pa, s1, s2))
     assert out.shape == s2.array_shape(2)
     np.testing.assert_array_equal(unpack_image(out, s2), src)
+
+
+def test_packed_multi_input_conv(rng):
+    """Concat-free branch merge: a conv reading two lane-segments must
+    equal the dense conv over the concatenated image."""
+    from deepfusion_tpu.ops.packed import PackedConvOp
+    mb, hw, ca, cb, oc = 2, 12, 32, 32, 64
+    a = fill_data((mb, hw, hw, ca), "u8", rng)
+    b = fill_data((mb, hw, hw, cb), "u8", rng)
+    wei = fill_data((oc, ca + cb, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    cfg = ConvConfig.make((mb, hw, hw, ca + cb), (oc, ca + cb, 3, 3),
+                          bia.dtype, (1, 1), (1, 1), (mb, hw, hw, oc), "u8",
+                          conv0_scales=(0.02,))
+    sa = PackedSpec.make(hw, hw, ca, halo=2, col_off=1)
+    sb = PackedSpec.make(hw, hw, cb, halo=2, col_off=1)
+    pop = PackedConvOp(cfg, wei, bia, sin=(sa, sb), halo_out=1)
+    out = pop((pack_image(a, sa), pack_image(b, sb)))
+    ref = conv_ref(cfg, np.concatenate([a, b], axis=-1), wei, bia)
+    compare(unpack_image(np.asarray(out), pop.sout), ref,
+            "multi-input packed conv")
+
+
+def test_packed_sum_relu_maxpool2(rng):
+    from deepfusion_tpu.config import PoolConfig
+    from deepfusion_tpu.ops.packed import packed_sum_relu_maxpool2
+    from deepfusion_tpu.ops.ref import eltwise_sum_relu_ref, pool_ref
+    spec = PackedSpec.make(8, 12, 32, halo=2, col_off=2, iwp=16)
+    rspec = PackedSpec.make(8, 12, 64, halo=2, col_off=2, iwp=16)
+    a = rng.integers(0, 256, (2, 8, 12, 32), np.uint8)
+    b = rng.integers(0, 256, (2, 8, 12, 32), np.uint8)
+    r = rng.integers(0, 256, (2, 8, 12, 64), np.uint8)
+    out, ospec = packed_sum_relu_maxpool2(
+        (pack_image(a, spec), pack_image(b, spec)),
+        pack_image(r, rspec), (spec, spec), rspec)
+    y = np.concatenate([a, b], axis=-1)
+    pc = PoolConfig.make("max", (8, 12), (2, 2), (2, 2), (0, 0))
+    expect = pool_ref(eltwise_sum_relu_ref(y, r, True), pc)
+    compare(unpack_image(np.asarray(out), ospec), expect, "fused sum-pool")
+    # output must itself be a valid packed image
+    np.testing.assert_array_equal(np.asarray(out), pack_image(expect, ospec))
