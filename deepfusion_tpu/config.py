@@ -243,6 +243,32 @@ class ConvConfig:
             icp=icp, ocp=ocp, oc1x1p=oc1x1p, row_tile=row_tile)
 
 
+_VMEM_BUDGET_CACHE = None
+
+
+def _default_vmem_budget() -> int:
+    """VMEM budget derived from the detected device (ADVICE round 1).
+
+    v5e-class parts run the fused kernel at full speed with a ~20MB working
+    set and 48MB compiles fine (measured); generations with the conservative
+    ~16MB/core VMEM get a matching budget. Override with DF_VMEM_BUDGET.
+    """
+    global _VMEM_BUDGET_CACHE
+    if _VMEM_BUDGET_CACHE is None:
+        kind = ""
+        try:
+            import jax
+            kind = getattr(jax.devices()[0], "device_kind", "")
+        except Exception:
+            pass
+        generous = ("TPU v5 lite", "TPU v5e", "TPU v5p", "TPU v6")
+        _VMEM_BUDGET_CACHE = (48 if (kind.startswith(generous)
+                                     or kind == "cpu" or not kind
+                                     or "cpu" in kind.lower())
+                              else 16) * 1024 * 1024
+    return _VMEM_BUDGET_CACHE
+
+
 def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
                    vmem_budget=None) -> int:
     """Choose output rows per grid step so the working set fits VMEM.
@@ -260,12 +286,8 @@ def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
     from .utils.mathutil import round_up
 
     if vmem_budget is None:
-        # v5e VMEM is far larger than the conservative 16MB/core rule of
-        # thumb; measured: the fused kernel at a ~20MB working set compiles
-        # and runs at full speed, while starving the tile to M=128 rows
-        # costs ~25% of roofline. Overridable for smaller parts.
-        vmem_budget = int(os.environ.get("DF_VMEM_BUDGET",
-                                         48 * 1024 * 1024))
+        vmem_budget = int(os.environ.get("DF_VMEM_BUDGET", 0)) \
+            or _default_vmem_budget()
 
     k_dim = kh * kw * icp
     iwp = round_up(iw + 2, 8)  # padded-width estimate for the flat layouts

@@ -333,7 +333,8 @@ class ConvOp:
         arrs = {k: np.asarray(v) for k, v in
                 zip(self._OPERAND_KEYS, self._operands)}
         cfg_dict = dataclasses.asdict(self.cfg)
-        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt"):
+        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt",
+                    "sum_dt"):
             v = cfg_dict[key]
             cfg_dict[key] = None if v is None else dtype(v.value).name \
                 if isinstance(v, dtype) else v.name
@@ -346,7 +347,8 @@ class ConvOp:
         import json
         data = np.load(path, allow_pickle=False)
         cfg_dict = json.loads(str(data["__cfg__"]))
-        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt"):
+        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt",
+                    "sum_dt"):
             v = cfg_dict[key]
             cfg_dict[key] = None if v is None else dtype[v]
         cfg_dict["conv0_round"] = round_mode[cfg_dict["conv0_round"]]

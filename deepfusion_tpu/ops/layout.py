@@ -109,6 +109,85 @@ def prep_src(cfg: ConvConfig, src_u8, xp=np):
     return (padded.astype(xp.int16) - 128).astype(xp.int8)
 
 
+# --------------------------------------------------------------- strided
+# Space-to-depth lowering: a stride-(sh,sw) conv is exactly a stride-1 conv
+# over the (sh*sw*ic)-channel s2d grid with remapped weights. Original tap
+# (ki,kj) reading input row oi*sh+ki lands at s2d tap (ki//sh, kj//sw) in
+# lane group (ki%sh)*sw + (kj%sw); s2d slots with no original tap get zero
+# weights, so the MXU result is bit-identical (the u8-shift correction only
+# sums weight columns, and zero rows contribute nothing). This replaces the
+# round-1 pure-XLA fallback: strided shapes now run the flagship Pallas
+# kernel (reference handles stride in-kernel, src/jit_conv_kernel.cc:512-673).
+
+
+def s2d_taps(cfg: ConvConfig) -> Tuple[int, int]:
+    """Kernel extent of the stride-1 equivalent on the s2d grid."""
+    return (cfg.kh - 1) // cfg.sh + 1, (cfg.kw - 1) // cfg.sw + 1
+
+
+def s2d_cfg(cfg: ConvConfig) -> ConvConfig:
+    """The stride-1 ConvConfig equivalent to a strided `cfg` on the s2d
+    grid. Output geometry, dtypes, scales, fusion and post-ops carry over
+    unchanged; only the input-side geometry is re-expressed."""
+    kh2, kw2 = s2d_taps(cfg)
+    ic2 = cfg.sh * cfg.sw * cfg.ic
+    ih2 = cfg.oh + kh2 - 1
+    iw2 = cfg.ow + kw2 - 1
+    out_oc = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
+    return ConvConfig.make(
+        (cfg.bs, ih2, iw2, ic2), (cfg.oc, ic2, kh2, kw2), cfg.bia_dt,
+        (1, 1), (0, 0), (cfg.bs, cfg.oh, cfg.ow, out_oc), cfg.dst_dt,
+        conv0_relu=cfg.conv0_relu, conv0_scales=cfg.conv0_scales,
+        conv0_round=cfg.conv0_round,
+        wei1x1_shape=(cfg.oc1x1, cfg.oc, 1, 1) if cfg.fuse_conv1x1 else None,
+        bia1x1_dt=cfg.bia1x1_dt, conv1_relu=cfg.conv1_relu,
+        conv1_scales=cfg.conv1_scales, conv1_round=cfg.conv1_round,
+        groups=cfg.gp, sum_dt=cfg.sum_dt if cfg.with_sum else None,
+        sum_scale=cfg.sum_scale)
+
+
+def s2d_weights(cfg: ConvConfig, wei_oihw: np.ndarray) -> np.ndarray:
+    """OIHW weights of the strided conv -> OIHW weights of the s2d conv."""
+    w = np.asarray(wei_oihw)
+    oc, ic, kh, kw = w.shape
+    kh2, kw2 = s2d_taps(cfg)
+    out = np.zeros((oc, cfg.sh * cfg.sw * ic, kh2, kw2), w.dtype)
+    for ki in range(kh):
+        qi, a = divmod(ki, cfg.sh)
+        for kj in range(kw):
+            qj, b = divmod(kj, cfg.sw)
+            g = a * cfg.sw + b
+            out[:, g * ic:(g + 1) * ic, qi, qj] = w[:, :, ki, kj]
+    return out
+
+
+def prep_src_s2d(cfg: ConvConfig, cfg2: ConvConfig, src_u8, xp=np):
+    """Activation prep for the s2d path: NHWC u8 -> the flat stride-1 input
+    ``prep_src(cfg2, ...)`` would produce, i.e. (N, IH2, IWP8, ICP2)
+    shifted-s8. Spatial conv padding, the s2d regroup, lane padding and the
+    -128 shift all happen here (XLA, fused under the op's jit)."""
+    from ..utils.mathutil import round_up
+
+    src = xp.asarray(src_u8)
+    n, ih, iw, ic = src.shape
+    sh, sw = cfg.sh, cfg.sw
+    hp, wp = cfg2.ih * sh, cfg2.iw * sw
+    # rows/cols of the conceptually padded image actually read: [0, hp/wp).
+    # Crop input rows the stride never touches, pad the rest with u8 zeros.
+    take_h = min(ih, hp - cfg.ph)
+    take_w = min(iw, wp - cfg.pw)
+    x = src[:, :take_h, :take_w, :]
+    x = xp.pad(x, ((0, 0), (cfg.ph, hp - cfg.ph - take_h),
+                   (cfg.pw, wp - cfg.pw - take_w), (0, 0)))
+    x = x.reshape(n, cfg2.ih, sh, cfg2.iw, sw, ic)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, cfg2.ih, cfg2.iw,
+                                              sh * sw * ic)
+    iwp8 = round_up(cfg2.iw, 8)
+    x = xp.pad(x, ((0, 0), (0, 0), (0, iwp8 - cfg2.iw),
+                   (0, cfg2.icp - sh * sw * ic)))
+    return (x.astype(xp.int16) - 128).astype(xp.int8)
+
+
 def pack_all(cfg: ConvConfig, wei, bias=None, wei1x1=None, bias1x1=None
              ) -> dict:
     """One-stop host-side pack for a ConvConfig. Returns the kernel operand

@@ -209,14 +209,20 @@ def _sum_relu_kernel(a_ref, b_ref, out_ref, *, dt: dtype, with_relu: bool):
         out_ref[...] = jnp.maximum(s, 0.0) if with_relu else s
         return
     s = a.astype(jnp.int32) + b.astype(jnp.int32)
-    if with_relu:
-        s = jnp.maximum(s, 0)
     if dt == dtype.s32:
-        # int32 + int32 wraps on overflow in the s32 lane; saturate like the
-        # oracle via int64-free clamping: detect overflow by sign logic is
-        # overkill for inference ranges; clamp in f64-free int32 domain.
+        # s32 + s32 can exceed int32; the oracle saturates (ref.py widens to
+        # int64 then clips). Mosaic has no int64, so detect overflow via the
+        # classic sign identity — overflow iff the operands share a sign and
+        # the wrapped sum's sign differs — and select the saturation bound.
+        ovf = ((~(a ^ b)) & (a ^ s)) < 0
+        sat = jnp.where(a >= 0, jnp.int32(2**31 - 1), jnp.int32(-2**31))
+        s = jnp.where(ovf, sat, s)
+        if with_relu:
+            s = jnp.maximum(s, 0)
         out_ref[...] = s
     else:
+        if with_relu:
+            s = jnp.maximum(s, 0)
         lo, hi = (-128, 127) if dt == dtype.s8 else (0, 255)
         out_ref[...] = jnp.clip(s, lo, hi).astype(dt.np)
 

@@ -51,10 +51,12 @@ def make_case(shape, bia_dt, dst_dt, rng, scales="scalar",
     return cfg, src, wei, bia, sc
 
 
-@pytest.mark.parametrize("bia_dt", ["s8", "s32"])
+@pytest.mark.parametrize("bia_dt", ["u8", "s8", "s32", "f32"])
 @pytest.mark.parametrize("dst_dt", ["u8", "s8", "s32", "f32"])
 def test_conv_dtype_combos(bia_dt, dst_dt, rng):
-    # the reference's 8 dtype suites (test/test_conv.cc:95-102)
+    # the reference's 8 dtype suites (test/test_conv.cc:95-102), widened to
+    # the full 4x4 bias/dst grid the kernel supports: bias may be any of
+    # u8/s8/s32/f32, widened to f32 (src/jit_conv_kernel.cc:238-254)
     shape = SHAPES[1]
     cfg, src, wei, bia, sc = make_case(shape, bia_dt, dst_dt, rng)
     out = conv(src, wei, bia, (cfg.sh, cfg.sw), (cfg.ph, cfg.pw),

@@ -71,7 +71,8 @@ def test_fused_shapes_dtypes(shape, dst_dt, rng):
 
 
 @pytest.mark.parametrize("bia_dt,bia1_dt", [("s8", "s8"), ("s8", None),
-                                            (None, "s32"), (None, None)])
+                                            (None, "s32"), (None, None),
+                                            ("u8", "f32"), ("f32", "u8")])
 def test_fused_bias_combos(bia_dt, bia1_dt, rng):
     cfg, *rest = build(FUSED_SHAPES[1], bia_dt, bia1_dt, "u8", rng)
     out = run(cfg, *rest, "u8")

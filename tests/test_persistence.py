@@ -24,6 +24,26 @@ def test_fused_save_load_roundtrip(tmp_path, rng):
     compare(np.asarray(op2(src)), np.asarray(op(src)), "save/load")
 
 
+def test_sum_postop_save_load(tmp_path, rng):
+    """Round 1 bug: `sum_dt` was never serialized, so save() raised
+    TypeError on any with_sum config (VERDICT.md weak #2)."""
+    src = fill_data((2, 9, 9, 16), "u8", rng)
+    wei = fill_data((32, 16, 3, 3), "s8", rng)
+    bia = fill_data((32,), "s32", rng)
+    sum_src = fill_data((2, 9, 9, 32), "u8", rng)
+    cfg = ConvConfig.make(
+        (2, 9, 9, 16), (32, 16, 3, 3), bia.dtype, (1, 1), (1, 1),
+        (2, 9, 9, 32), "u8", conv0_scales=(0.05,),
+        sum_dt="u8", sum_scale=0.5)
+    op = ConvOp(cfg, wei, bia)
+    path = str(tmp_path / "op_sum.npz")
+    op.save(path)
+    op2 = ConvOp.load(path)
+    assert op2.cfg == op.cfg
+    compare(np.asarray(op2(src, sum_src=sum_src)),
+            np.asarray(op(src, sum_src=sum_src)), "sum save/load")
+
+
 def test_standalone_save_load(tmp_path, rng):
     src = fill_data((1, 7, 7, 16), "u8", rng)
     wei = fill_data((16, 16, 3, 3), "s8", rng)

@@ -83,6 +83,25 @@ def test_eltwise_sum_saturates(rng):
     assert (np.asarray(eltwise_sum_relu(au, au)) == 255).all()
 
 
+@pytest.mark.parametrize("relu", [True, False])
+def test_eltwise_sum_s32_overflow_saturates(relu, rng):
+    """Round 1 bug: the s32 kernel stored the wrapped int32 sum while the
+    oracle saturates through int64 (VERDICT.md weak #3). Exercise true
+    overflow in both directions plus non-overflow extremes."""
+    big = 2**31 - 5
+    a = np.array([[big, -big, big, -big, 7, -7, 0, big]] * 2,
+                 np.int32).reshape(2, 1, 2, 4)
+    b = np.array([[big, -big, -3, 3, big, -big, 0, -1]] * 2,
+                 np.int32).reshape(2, 1, 2, 4)
+    out = eltwise_sum_relu(a, b, with_relu=relu)
+    compare(out, eltwise_sum_relu_ref(a, b, relu), f"s32 overflow relu={relu}")
+    rnd_a = rng.integers(-2**31, 2**31, (2, 8, 8, 32), np.int64).astype(np.int32)
+    rnd_b = rng.integers(-2**31, 2**31, (2, 8, 8, 32), np.int64).astype(np.int32)
+    out = eltwise_sum_relu(rnd_a, rnd_b, with_relu=relu)
+    compare(out, eltwise_sum_relu_ref(rnd_a, rnd_b, relu),
+            f"s32 random-range relu={relu}")
+
+
 def test_eltwise_rejects_mismatch(rng):
     from deepfusion_tpu.utils.logger import CheckError
     a = fill_data((1, 2, 2, 16), "s8", rng)
