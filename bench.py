@@ -187,30 +187,48 @@ def bench_fused(args):
 
 
 def bench_conv(args):
+    """conv3x3 standalone; --stride 2 measures the s2d-lowered strided
+    Pallas kernel (VERDICT r1 #2: strided shapes run native, with a bench
+    number). Strided chains keep the timing loop data-dependent via a
+    parity bump on the input instead of output feedback (spatial shrinks)."""
     from deepfusion_tpu.config import ConvConfig
     from deepfusion_tpu.ops.conv import ConvOp
+    from deepfusion_tpu.utils.mathutil import conv_output_size
 
-    n, hw, ic, oc = args.batch, args.hw, args.ic, args.oc
-    if oc != ic:
+    n, hw, ic, oc, s = args.batch, args.hw, args.ic, args.oc, args.stride
+    if s == 1 and oc != ic:
         raise SystemExit("--oc must equal --ic (output feeds next input)")
     rng = np.random.default_rng(0)
     src = rng.integers(0, 256, (n, hw, hw, ic), dtype=np.uint8)
     wei = rng.integers(-127, 128, (oc, ic, 3, 3)).astype(np.int8)
     bia = rng.integers(-100, 101, (oc,)).astype(np.int32)
+    oh = conv_output_size(hw, 3, s, 1)
     cfg = ConvConfig.make((n, hw, hw, ic), (oc, ic, 3, 3), bia.dtype,
-                          (1, 1), (1, 1), (n, hw, hw, oc), "u8",
+                          (s, s), (1, 1), (n, oh, oh, oc), "u8",
                           conv0_scales=(0.001,))
     op = ConvOp(cfg, wei, bia)
     import jax
+    import jax.numpy as jnp
 
     x = jax.device_put(src)
-    sec = timeit_chain(op, x, args.iters)
-    ops = 2 * n * hw * hw * 9 * ic * oc / sec
+    if s == 1:
+        step = op
+    else:
+        def step(x):
+            out = op(x)
+            bump = (out.astype(jnp.int32).sum() & 1).astype(jnp.uint8)
+            return x + bump
+
+    sec = timeit_chain(step, x, args.iters)
+    ops = 2 * n * oh * oh * 9 * ic * oc / sec
     peak, kind = peak_ops()
     pct = 100.0 * ops / peak
-    print(f"# conv3x3 {sec*1e3:.3f} ms/iter {ops/1e12:.1f} TOPS on {kind}",
+    tag = f"conv3x3/s{s}" if s > 1 else "conv3x3"
+    print(f"# {tag} {sec*1e3:.3f} ms/iter {ops/1e12:.1f} TOPS on {kind}",
           file=sys.stderr)
-    return {"metric": "conv3x3_int8_roofline_pct", "value": round(pct, 2),
+    metric = ("conv3x3_int8_roofline_pct" if s == 1
+              else f"conv3x3_stride{s}_int8_roofline_pct")
+    return {"metric": metric, "value": round(pct, 2),
             "unit": "%", "vs_baseline": round(pct / 90.0, 4)}
 
 
@@ -290,6 +308,8 @@ def main():
     p.add_argument("--ic", type=int, default=256)
     p.add_argument("--oc", type=int, default=256)
     p.add_argument("--oc1x1", type=int, default=256)
+    p.add_argument("--stride", type=int, default=1,
+                   help="conv: stride (s2d-lowered Pallas path when > 1)")
     p.add_argument("--iters", type=int, default=32,
                    help="chain length inside one jit")
     p.add_argument("--compare-xla", action="store_true",

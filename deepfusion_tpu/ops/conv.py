@@ -30,9 +30,16 @@ TPU-native re-design of the reference's JIT conv
 * per-thread s32 workspaces ``ws_``/``acc1x1`` (``src/op_conv.h:73-79``) ->
   none needed: each grid program's accumulators are MXU/VMEM values.
 
-Strided convs (sh or sw > 1) break the contiguous-slice property; they take
-a pure-XLA path with identical numerics (``_conv_xla``). The headline
-fused-conv shapes are all stride 1.
+Strided convs (sh or sw > 1) break the contiguous-slice property *of the
+original image*, so they run the same Pallas kernel over the space-to-depth
+grid: a stride-(sh,sw) conv is exactly a stride-1 conv with (sh*sw*ic)
+channels and remapped weights (``layout.s2d_cfg``/``s2d_weights``), which is
+bit-identical because s2d slots with no original tap get zero weights. The
+reference handles stride in-kernel via its blocking parameters
+(``src/jit_conv_kernel.cc:512-673``); s2d is the MXU-native equivalent — it
+turns strided spatial reads into dense lane reads. ``_conv_xla`` remains
+only as the "what the compiler does unaided" comparison baseline for
+``bench.py --compare-xla``.
 
 Grid: (batch, oh/row_tile); the input image block index is constant across
 row tiles so Pallas DMAs it only once per batch element.
@@ -271,11 +278,23 @@ def _conv_xla(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
 def _conv_call(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
                w1=None, corr1=None, bias1=None, scale1=None, sum_src=None):
     srcp = layout.prep_src(cfg, src_u8, xp=jnp)    # (n, ihp, iwp8, icp) s8
-    if cfg.sh == 1 and cfg.sw == 1:
-        return _conv_pallas(cfg, srcp, w3, corr0, bias0, scale0,
-                            w1, corr1, bias1, scale1, sum_src=sum_src)
-    return _conv_xla(cfg, srcp, w3, corr0, bias0, scale0,
-                     w1, corr1, bias1, scale1, sum_src=sum_src)
+    return _conv_pallas(cfg, srcp, w3, corr0, bias0, scale0,
+                        w1, corr1, bias1, scale1, sum_src=sum_src)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "cfg2"))
+def _conv_call_s2d(cfg: ConvConfig, cfg2: ConvConfig, src_u8,
+                   w3, corr0, bias0, scale0,
+                   w1=None, corr1=None, bias1=None, scale1=None,
+                   sum_src=None):
+    """Strided conv via the stride-1 Pallas kernel on the s2d grid.
+
+    w3 must be packed from ``layout.s2d_weights`` with cfg2's channel
+    padding; all other operands are stride-agnostic (output geometry,
+    scales and the fused 1x1 carry over unchanged)."""
+    srcp = layout.prep_src_s2d(cfg, cfg2, src_u8, xp=jnp)
+    return _conv_pallas(cfg2, srcp, w3, corr0, bias0, scale0,
+                        w1, corr1, bias1, scale1, sum_src=sum_src)
 
 
 class ConvOp:
@@ -289,7 +308,13 @@ class ConvOp:
     def __init__(self, cfg: ConvConfig, wei, bia=None, wei1x1=None,
                  bia1x1=None):
         self.cfg = cfg
-        packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
+        # strided configs run the stride-1 Pallas kernel on the s2d grid
+        # (see module docstring); weights are remapped once at pack time
+        self.cfg2 = layout.s2d_cfg(cfg) if (cfg.sh > 1 or cfg.sw > 1) \
+            else None
+        if self.cfg2 is not None:
+            wei = layout.s2d_weights(cfg, np.asarray(wei))
+        packed = layout.pack_all(self.cfg2 or cfg, wei, bia, wei1x1, bia1x1)
         self._operands = [jnp.asarray(packed["w3"]),
                           jnp.asarray(packed["corr0"]),
                           jnp.asarray(packed["bias0"]),
@@ -304,12 +329,15 @@ class ConvOp:
         src = jnp.asarray(src_u8)
         if self.cfg.with_sum and sum_src is None:
             raise ValueError("config has a sum post-op; pass sum_src")
+        if self.cfg2 is not None:
+            call, cfgs = _conv_call_s2d, (self.cfg, self.cfg2)
+        else:
+            call, cfgs = _conv_call, (self.cfg,)
         if env.dump_code() and not getattr(self, "_dumped", False):
             # analogue of DEEPFUSION_DUMP_CODE (src/jit_generator.h:261-296)
             from ..utils.profiler import maybe_dump_lowered
             name = "conv_fused" if self.cfg.fuse_conv1x1 else "conv"
-            maybe_dump_lowered(name, _conv_call, self.cfg, src,
-                               *self._operands)
+            maybe_dump_lowered(name, call, *cfgs, src, *self._operands)
             self._dumped = True
         kw = {}
         if self.cfg.fuse_conv1x1:
@@ -319,7 +347,7 @@ class ConvOp:
             kw = dict(w1=None, corr1=None, bias1=None, scale1=None)
         if sum_src is not None:
             kw["sum_src"] = jnp.asarray(sum_src)
-        return _conv_call(self.cfg, src, *args, **kw)
+        return call(*cfgs, src, *args, **kw)
 
     # --- packed-weight persistence (stateless-inference checkpoint
     # analogue; the reference keeps weights caller-owned, SURVEY.md §5) ---
@@ -358,6 +386,7 @@ class ConvOp:
         cfg = ConvConfig(**cfg_dict)
         op = cls.__new__(cls)
         op.cfg = cfg
+        op.cfg2 = layout.s2d_cfg(cfg) if (cfg.sh > 1 or cfg.sw > 1) else None
         keys = cls._OPERAND_KEYS[:8 if cfg.fuse_conv1x1 else 4]
         op._operands = [jnp.asarray(data[k]) for k in keys]
         return op

@@ -120,6 +120,64 @@ def test_round_semantics_ties_to_even():
     assert round_f32(x, round_mode.down).tolist() == [0, 1, 2, -1, -2, 3]
 
 
+# ----- strided convs run the native Pallas kernel (s2d lowering) -----
+# Reference handles stride in-kernel (src/jit_conv_kernel.cc:512-673); the
+# TPU build lowers stride-(sh,sw) to a stride-1 conv on the space-to-depth
+# grid (ops/layout.py s2d_*) and runs the same flagship Pallas kernel.
+
+STRIDED_SHAPES = [
+    (1, 16, 8, 10, 48, 3, 3, 1, 1, 2, 2),
+    (2, 32, 13, 13, 32, 3, 3, 1, 1, 2, 1),   # mixed stride h
+    (2, 32, 13, 13, 32, 3, 3, 0, 0, 1, 2),   # mixed stride w, no pad
+    (1, 8, 11, 11, 16, 3, 3, 1, 1, 3, 3),    # stride 3 (stride == kernel)
+    (1, 8, 10, 10, 16, 5, 5, 2, 2, 2, 2),    # 5x5 kernel, stride 2
+    (1, 8, 9, 9, 16, 3, 3, 0, 0, 4, 4),      # stride > kernel (crop path)
+]
+
+
+@pytest.mark.parametrize("shape", STRIDED_SHAPES)
+def test_strided_conv_runs_pallas(shape, rng, monkeypatch):
+    # the XLA composition must never be reachable from the op (it survives
+    # only as bench.py's --compare-xla baseline)
+    import importlib
+    C = importlib.import_module("deepfusion_tpu.ops.conv")
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("strided conv fell back to the XLA path")
+
+    monkeypatch.setattr(C, "_conv_xla", boom)
+    cfg, src, wei, bia, sc = make_case(shape, "s32", "u8", rng)
+    out = conv(src, wei, bia, (cfg.sh, cfg.sw), (cfg.ph, cfg.pw),
+               dst_dtype="u8", conv0_scales=sc)
+    compare(out, conv_ref(cfg, src, wei, bia), f"strided pallas {shape}")
+
+
+def test_strided_conv_per_channel_scales_round_down(rng):
+    shape = STRIDED_SHAPES[0]
+    cfg, src, wei, bia, sc = make_case(shape, "s8", "s8", rng,
+                                       scales="per_oc", rnd=round_mode.down)
+    out = conv(src, wei, bia, (cfg.sh, cfg.sw), (cfg.ph, cfg.pw),
+               dst_dtype="s8", conv0_scales=sc, conv0_round_mode=round_mode.down)
+    compare(out, conv_ref(cfg, src, wei, bia), "strided per-oc round-down")
+
+
+def test_strided_conv_with_sum_postop(rng):
+    from helpers import fill_data as fd
+    shape = STRIDED_SHAPES[1]
+    cfg0, src, wei, bia, sc = make_case(shape, "s32", "u8", rng)
+    sum_src = fd((cfg0.bs, cfg0.oh, cfg0.ow, cfg0.oc), "u8", rng)
+    cfg = ConvConfig.make(
+        (cfg0.bs, cfg0.ih, cfg0.iw, cfg0.ic), (cfg0.oc, cfg0.ic, 3, 3),
+        bia.dtype, (cfg0.sh, cfg0.sw), (cfg0.ph, cfg0.pw),
+        (cfg0.bs, cfg0.oh, cfg0.ow, cfg0.oc), "u8", conv0_scales=sc,
+        sum_dt="u8", sum_scale=0.5)
+    out = conv(src, wei, bia, (cfg.sh, cfg.sw), (cfg.ph, cfg.pw),
+               dst_dtype="u8", conv0_scales=sc, sum_src=sum_src,
+               sum_scale=0.5)
+    compare(out, conv_ref(cfg, src, wei, bia, sum_src=sum_src),
+            "strided conv + sum post-op")
+
+
 # ----- validation / fail-fast (src/op_conv.cc:263-365) -----
 
 def test_conv_rejects_bad_geometry():
