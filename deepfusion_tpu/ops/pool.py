@@ -186,12 +186,29 @@ def conv_relu_pool(src, wei, bia, stride, padding, *, dst_dtype,
     """Fused conv+ReLU+pooling (the planned op at
     test/test_conv_relu_pooling.cc:264-281).
 
-    Round-1 composition: the Pallas conv kernel produces the conv+relu
-    output, the Pallas pool kernel consumes it; both live under one jit so
-    XLA schedules them back-to-back on-chip. A single-kernel in-VMEM fusion
-    is a planned optimization (the conv row-tile already matches the pool
-    window geometry).
+    Canonical 2x2/s2 downsampling geometries run as ONE Pallas kernel: the
+    conv row-tile is pooled in the epilogue before the HBM store
+    (ops/convpool.py — the conv output never exists in HBM). Other
+    geometries compose the conv and pool Pallas kernels under one jit.
     """
+    from .convpool import ConvPoolOp, pool2_fusable
+
+    src = np.asarray(src) if not hasattr(src, "dtype") else src
+    wei = np.asarray(wei)
+    n, ih, iw, ic = src.shape
+    oc, _, kh, kw = wei.shape
+    oh = conv_output_size(ih, kh, stride[0], padding[0])
+    ow = conv_output_size(iw, kw, stride[1], padding[1])
+    cfg = ConvConfig.make(
+        (n, ih, iw, ic), tuple(wei.shape),
+        None if bia is None else np.asarray(bia).dtype,
+        stride, padding, (n, oh, ow, oc), dst_dtype,
+        conv0_relu=conv_relu, conv0_scales=conv_scales,
+        conv0_round=conv_round_mode)
+    pc = PoolConfig.make(pool_kind, (oh, ow), pool_kernel, pool_stride,
+                         pool_padding, pool_round_mode)
+    if pool2_fusable(cfg, pc):
+        return ConvPoolOp(cfg, pc, wei, bia)(src)
     from .conv import conv as conv_fn
     conv_out = conv_fn(src, wei, bia, stride, padding, dst_dtype=dst_dtype,
                        conv0_relu=conv_relu, conv0_scales=conv_scales,

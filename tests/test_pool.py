@@ -65,6 +65,72 @@ def test_conv_relu_pool_fused(pool_kind, rng):
     compare(out, pool_ref(conv_out, pc), f"conv_relu_pool {pool_kind}")
 
 
+# ----- single-kernel conv+pool fusion (ops/convpool.py, VERDICT r1 #4) -----
+
+def _cp_case(rng, dst_dt="u8", kind="max", oc=32, relu=True, sum_dt=None):
+    n, ic, ih, iw = 2, 16, 12, 12
+    src = fill_data((n, ih, iw, ic), "u8", rng)
+    wei = fill_data((oc, ic, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    oh = conv_output_size(ih, 3, 1, 1)
+    cfg = ConvConfig.make((n, ih, iw, ic), (oc, ic, 3, 3), bia.dtype,
+                          (1, 1), (1, 1), (n, oh, oh, oc), dst_dt,
+                          conv0_relu=relu, conv0_scales=(0.05,),
+                          sum_dt=sum_dt, sum_scale=0.5)
+    pc = PoolConfig.make(kind, (oh, oh), (2, 2), (2, 2), (0, 0))
+    return cfg, pc, src, wei, bia
+
+
+@pytest.mark.parametrize("dst_dt", ["u8", "s8", "s32", "f32"])
+@pytest.mark.parametrize("kind", ["max", "avg_inc"])
+def test_convpool_single_kernel(dst_dt, kind, rng):
+    from deepfusion_tpu.ops.convpool import ConvPoolOp, pool2_fusable
+    cfg, pc, src, wei, bia = _cp_case(rng, dst_dt, kind)
+    if not pool2_fusable(cfg, pc):
+        assert kind != "max" and dst_dt == "s32"  # documented avg exclusion
+        return
+    out = ConvPoolOp(cfg, pc, wei, bia)(src)
+    compare(out, pool_ref(conv_ref(cfg, src, wei, bia), pc),
+            f"convpool {kind}->{dst_dt}")
+
+
+def test_convpool_with_sum_postop(rng):
+    from deepfusion_tpu.ops.convpool import ConvPoolOp
+    cfg, pc, src, wei, bia = _cp_case(rng, "u8", "max", sum_dt="u8")
+    sum_src = fill_data((cfg.bs, cfg.oh, cfg.ow, cfg.oc), "u8", rng)
+    out = ConvPoolOp(cfg, pc, wei, bia)(src, sum_src=sum_src)
+    compare(out, pool_ref(conv_ref(cfg, src, wei, bia, sum_src=sum_src), pc),
+            "convpool + sum post-op")
+
+
+def test_conv_relu_pool_routes_single_kernel(rng, monkeypatch):
+    # the canonical 2x2/s2 geometry must NOT take the two-kernel composition
+    import importlib
+    P = importlib.import_module("deepfusion_tpu.ops.pool")
+
+    def boom(*a, **k):  # pragma: no cover
+        raise AssertionError("fusable conv+pool took the composed path")
+
+    monkeypatch.setattr(P, "pool", boom)
+    cfg, pc, src, wei, bia = _cp_case(rng)
+    out = conv_relu_pool(src, wei, bia, (1, 1), (1, 1), dst_dtype="u8",
+                         conv_scales=(0.05,), conv_relu=True,
+                         pool_kind="max", pool_kernel=(2, 2),
+                         pool_stride=(2, 2))
+    compare(out, pool_ref(conv_ref(cfg, src, wei, bia), pc),
+            "routed single-kernel conv+pool")
+
+
+def test_convpool_round_down_avg(rng):
+    from deepfusion_tpu.ops.convpool import ConvPoolOp
+    cfg, pc, src, wei, bia = _cp_case(rng, "s8", "avg_inc")
+    import dataclasses
+    pc = dataclasses.replace(pc, round=round_mode.down)
+    out = ConvPoolOp(cfg, pc, wei, bia)(src)
+    compare(out, pool_ref(conv_ref(cfg, src, wei, bia), pc),
+            "convpool avg round-down")
+
+
 @pytest.mark.parametrize("dt", ["u8", "s8", "s32", "f32"])
 @pytest.mark.parametrize("relu", [True, False])
 def test_eltwise_sum_relu(dt, relu, rng):
