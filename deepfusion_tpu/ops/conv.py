@@ -135,8 +135,12 @@ def _conv_kernel(*refs, cfg: ConvConfig):
     out_ref[0] = res[:, :cfg.oc]
 
 
-def _conv_fused_kernel(*refs, cfg: ConvConfig):
-    if cfg.with_sum:
+def _conv_fused_kernel(*refs, cfg: ConvConfig, emit_acc1: bool = False):
+    if emit_acc1:
+        (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
+         w1_ref, corr1_ref, out_ref) = refs
+        sum_ref = bias1_ref = scale1_ref = None
+    elif cfg.with_sum:
         (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
          w1_ref, corr1_ref, bias1_ref, scale1_ref, sum_ref, out_ref) = refs
     else:
@@ -154,6 +158,13 @@ def _conv_fused_kernel(*refs, cfg: ConvConfig):
         scale0_ref[...], cfg.conv0_round)          # (T*iwp, ocp) s8
     acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
     acc1 = acc1 + corr1_ref[...]
+    if emit_acc1:
+        # TP partial-sum mode: the raw s32 1x1 accumulator leaves the
+        # kernel; psum over the tp axis then requant happen outside
+        # (parallel/shard.py — requant is nonlinear so it must follow the
+        # collective). int32 adds commute => bit-exact vs single-device.
+        out_ref[0] = acc1
+        return
     res = requant(acc1,
                   bias1_ref[...] if cfg.conv1_with_bias else None,
                   scale1_ref[...], cfg.conv1_relu, cfg.conv1_round,
@@ -168,8 +179,12 @@ def _vec_spec(n):
 
 
 def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
-                 w1, corr1, bias1, scale1, sum_src=None):
-    """Stride-1 Pallas path over the flat (ihp*iwp8, icp) image."""
+                 w1, corr1, bias1, scale1, sum_src=None,
+                 emit_acc1: bool = False):
+    """Stride-1 Pallas path over the flat (ihp*iwp8, icp) image.
+
+    emit_acc1: fused path only — emit the raw s32 1x1 accumulator (all
+    oc1x1p lanes) instead of the requantized dst, for TP partial sums."""
     n = srcp.shape[0]
     ihp = cfg.ih + 2 * cfg.ph
     iwp = _flat_iwp(cfg)
@@ -177,6 +192,8 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
     k_dim = cfg.kh * cfg.kw * cfg.icp
     grid = (cfg.bs, cfg.oh // cfg.row_tile)
     out_oc = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
+    if emit_acc1:
+        out_oc = cfg.oc1x1p
     m_tile = cfg.row_tile * iwp
 
     src_spec = pl.BlockSpec((1, ihp * iwp, cfg.icp),
@@ -190,14 +207,16 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
     args = [flat, w3, corr0.reshape(1, -1), bias0.reshape(1, -1),
             scale0.reshape(1, -1)]
     if cfg.fuse_conv1x1:
-        kernel = functools.partial(_conv_fused_kernel, cfg=cfg)
+        kernel = functools.partial(_conv_fused_kernel, cfg=cfg,
+                                   emit_acc1=emit_acc1)
         in_specs += [
             pl.BlockSpec((cfg.ocp, cfg.oc1x1p), lambda b, t: (0, 0),
                          memory_space=pltpu.VMEM),
-            _vec_spec(cfg.oc1x1p), _vec_spec(cfg.oc1x1p),
             _vec_spec(cfg.oc1x1p)]
-        args += [w1, corr1.reshape(1, -1), bias1.reshape(1, -1),
-                 scale1.reshape(1, -1)]
+        args += [w1, corr1.reshape(1, -1)]
+        if not emit_acc1:
+            in_specs += [_vec_spec(cfg.oc1x1p), _vec_spec(cfg.oc1x1p)]
+            args += [bias1.reshape(1, -1), scale1.reshape(1, -1)]
     else:
         kernel = functools.partial(_conv_kernel, cfg=cfg)
     if cfg.with_sum:
@@ -222,7 +241,8 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(
-            (cfg.bs, cfg.oh * iwp, out_oc), cfg.dst_dt.np),
+            (cfg.bs, cfg.oh * iwp, out_oc),
+            np.int32 if emit_acc1 else cfg.dst_dt.np),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -280,6 +300,18 @@ def _conv_call(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
     srcp = layout.prep_src(cfg, src_u8, xp=jnp)    # (n, ihp, iwp8, icp) s8
     return _conv_pallas(cfg, srcp, w3, corr0, bias0, scale0,
                         w1, corr1, bias1, scale1, sum_src=sum_src)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def conv_fused_acc1(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
+                    w1, corr1):
+    """Fused conv emitting the raw s32 1x1 accumulator (pre-requant) via
+    the flagship Pallas kernel — the TP local step (parallel/shard.py).
+    Returns (n, oh, ow, oc1x1p) int32 (padded lanes kept: bias/scale
+    vectors downstream are ocp-padded too)."""
+    srcp = layout.prep_src(cfg, src_u8, xp=jnp)
+    return _conv_pallas(cfg, srcp, w3, corr0, bias0, scale0,
+                        w1, corr1, None, None, emit_acc1=True)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "cfg2"))

