@@ -36,6 +36,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_df")
 def _enable_compile_cache():
     import jax
 
+    # the container's sitecustomize force-registers the TPU plugin; an
+    # explicit JAX_PLATFORMS=cpu (virtual-mesh smoke runs) must go through
+    # jax.config to stick (same workaround as tests/conftest.py)
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_compilation_cache_dir",
                       os.environ["JAX_COMPILATION_CACHE_DIR"])
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
@@ -88,14 +93,9 @@ def _timed_readback(fn, *args):
     return time.perf_counter() - t0
 
 
-def timeit_chain(step_fn, x0, iters, reps=5, spread_s=0.0):
-    """Seconds per iteration of step_fn (x -> x, same pytree structure),
-    measured as a data-dependent scan chain with forced scalar readback.
-
-    The tunneled chip is shared: identical kernels measure 30-60% apart
-    depending on co-tenant load, in slow states persisting minutes. reps
-    are therefore spread over `spread_s` seconds of wall time and the best
-    is taken — the kernel's capability, not the neighbours'."""
+def make_chain(step_fn, iters):
+    """Jitted scan chain of `iters` data-dependent step_fn applications
+    ending in a scalar checksum (the readback forces true completion)."""
     import jax
     import jax.numpy as jnp
 
@@ -109,15 +109,38 @@ def timeit_chain(step_fn, x0, iters, reps=5, spread_s=0.0):
                             length=iters)
         return checksum(x)
 
-    float(chain(x0))                    # compile + warm
-    rtt = measure_rtt()
+    return chain
+
+
+def timeit_chain(step_fn, x0, iters, reps=5, spread_s=0.0):
+    """Seconds per iteration of step_fn (x -> x, same pytree structure).
+
+    Protocol: PAIRED chains — two scan chains of `iters` and `4*iters`
+    data-dependent applications run back-to-back in the same tunnel/load
+    phase; per-iteration time = (wall_long - wall_short) / (3*iters).
+    The subtraction cancels the tunnel round-trip *measured in the same
+    instant*, unlike a global RTT estimate (the tunnel RTT drifts by
+    milliseconds over minutes, which an absolute wall-minus-RTT protocol
+    turns into unbounded error on short chains — it can even read above
+    hardware peak).
+
+    The tunneled chip is also shared: identical kernels measure 30-60%
+    apart depending on co-tenant load, in slow states persisting minutes.
+    reps are therefore spread over `spread_s` seconds of wall time and the
+    best is taken — the kernel's capability, not the neighbours'."""
+    chain1 = make_chain(step_fn, iters)
+    chain4 = make_chain(step_fn, 4 * iters)
+    float(chain1(x0))                   # compile + warm
+    float(chain4(x0))
     gap = spread_s / max(reps - 1, 1)
     best = float("inf")
     for r in range(reps):
         if r and gap:
             time.sleep(gap)
-        best = min(best, _timed_readback(chain, x0))
-    return max(best - rtt, 1e-9) / iters
+        t1 = _timed_readback(chain1, x0)
+        t4 = _timed_readback(chain4, x0)
+        best = min(best, (t4 - t1) / (3 * iters))
+    return max(best, 1e-12)
 
 
 def bench_fused(args):
@@ -296,10 +319,93 @@ def bench_model(args):
             "unit": "imgs/s", "vs_baseline": 1.0}
 
 
+def _parse_mesh(spec: str):
+    """'dp=4' / 'dp=2,sp=2,tp=2' -> dict; missing axes default to 1."""
+    axes = {"dp": 1, "sp": 1, "tp": 1}
+    for part in spec.split(","):
+        k, _, v = part.partition("=")
+        k = k.strip()
+        if k not in axes:
+            raise SystemExit(f"unknown mesh axis {k!r} (dp/sp/tp)")
+        axes[k] = int(v)
+    return axes
+
+
+def bench_scaling(args):
+    """Multi-chip/multi-host scaling (BASELINE.md scaling table; VERDICT r1
+    #7): run the dp(/sp/tp)-sharded FusionNet forward step over a device
+    mesh and report imgs/s/chip. Degenerate at 1 chip (dp=1) today; the
+    same harness scales to 1 host / >=2 hosts:
+
+        # 1 chip (this environment):
+        python bench.py --op scaling --mesh dp=1
+        # 1 host, 4 chips:
+        python bench.py --op scaling --mesh dp=4
+        # 2 hosts x 4 chips (run on every host):
+        python bench.py --op scaling --mesh dp=8 --hosts 2 \\
+            --coordinator host0:1234 --process-id $ID
+
+    Sharding plan: batch over dp (no collectives), H over sp (ppermute
+    halos in the stem), conv0-oc over tp in the fused blocks (psum before
+    requant) — the mesh axes from parallel/mesh.py. The dp-only default is
+    the throughput configuration; sp/tp exist to bound the latency of big
+    single images and are measured by the same harness."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+
+    from deepfusion_tpu.models import FusionNet, FusionNetConfig
+    from deepfusion_tpu.parallel import distributed, make_mesh
+
+    if args.hosts and args.hosts > 1:
+        distributed.initialize(coordinator_address=args.coordinator,
+                               num_processes=args.hosts,
+                               process_id=args.process_id)
+    axes = _parse_mesh(args.mesh)
+    dp, sp, tp = axes["dp"], axes["sp"], axes["tp"]
+    n_chips = dp * sp * tp
+    if len(jax.devices()) < n_chips:
+        raise SystemExit(f"mesh {args.mesh} needs {n_chips} devices, "
+                         f"have {len(jax.devices())}")
+    if sp != 1 or tp != 1:
+        raise SystemExit("scaling bench shards the model over dp; sp/tp "
+                         "shardings are benched per-op (tests cover "
+                         "correctness; see parallel/shard.py)")
+    mesh = make_mesh(dp=dp, sp=sp, tp=tp)
+
+    # per-chip batch stays constant (weak scaling): global = batch * dp
+    local = FusionNet(FusionNetConfig(batch=args.batch, hw=56, in_ch=32,
+                                      width=128, num_classes=128))
+    fwd = jax.shard_map(local.__call__, mesh=mesh,
+                        in_specs=P("dp", None, None, None),
+                        out_specs=P("dp", None), check_vma=False)
+    rng = np.random.default_rng(0)
+    gb = args.batch * dp
+    x0 = rng.integers(0, 256, (gb,) + local.input_shape[1:], dtype=np.uint8)
+    x0 = jax.device_put(
+        x0, jax.NamedSharding(mesh, P("dp", None, None, None)))
+
+    def step(x):
+        out = fwd(x)
+        bump = (out.astype(jnp.int32).sum() & 1).astype(jnp.uint8)
+        return x + bump
+
+    sec = timeit_chain(step, x0, args.iters, reps=8, spread_s=45)
+    imgs_per_chip = gb / sec / n_chips
+    print(f"# scaling mesh(dp={dp},sp={sp},tp={tp}) "
+          f"{jax.process_count()} host(s) {sec*1e3:.3f} ms/step "
+          f"{gb/sec:.0f} imgs/s total", file=sys.stderr)
+    return {"metric": "fusionnet_imgs_per_sec_per_chip",
+            "value": round(imgs_per_chip, 1), "unit": "imgs/s/chip",
+            "vs_baseline": 1.0,
+            "mesh": {"dp": dp, "sp": sp, "tp": tp,
+                     "hosts": jax.process_count()}}
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--op", default="fused",
-                   choices=["fused", "conv", "concat", "model"])
+                   choices=["fused", "conv", "concat", "model", "scaling"])
     # default fused shape: MXU-filling channels and an alignment-friendly
     # width (126 + 2*pad = 128 flat positions/row -> 1.6% M padding waste;
     # hw=56 pads 58->64 and caps the kernel at 87.5% of roofline by layout)
@@ -320,10 +426,19 @@ def main():
     p.add_argument("--packed", action="store_true",
                    help="model: time the layout-persistent packed path "
                         "instead of the dense op-by-op path")
+    p.add_argument("--mesh", default="dp=1",
+                   help="scaling: mesh axes, e.g. dp=4 or dp=2,sp=2")
+    p.add_argument("--hosts", type=int, default=1,
+                   help="scaling: number of host processes (multi-host)")
+    p.add_argument("--coordinator", default=None,
+                   help="scaling: jax.distributed coordinator host:port")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="scaling: this host's process index")
     args = p.parse_args()
     _enable_compile_cache()
     result = {"fused": bench_fused, "conv": bench_conv,
-              "concat": bench_concat, "model": bench_model}[args.op](args)
+              "concat": bench_concat, "model": bench_model,
+              "scaling": bench_scaling}[args.op](args)
     print(json.dumps(result))
 
 
