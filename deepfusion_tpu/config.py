@@ -148,6 +148,11 @@ class ConvConfig:
     ocp: int = 0      # oc padded (lane multiple)
     oc1x1p: int = 0
     row_tile: int = 0  # output rows per Pallas program
+    # input-channel chunks accumulated in VMEM scratch across grid steps —
+    # the reference's nb_ic_blocking / multi-call acc_s32 accumulation
+    # (src/jit_conv_kernel.cc:643-646, src/op_conv.cc:96-122). 1 = whole K
+    # in one shot; >1 bounds the per-step src/weight working set.
+    ic_chunks: int = 1
 
     @property
     def conv0_with_bias(self) -> bool:
@@ -226,7 +231,10 @@ class ConvConfig:
         ocp = max(div_up(oc, LANES) * LANES, LANES)
         oc1x1p = max(div_up(oc1x1, LANES) * LANES, LANES) if fuse else 0
         if row_tile is None:
-            row_tile = _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p)
+            row_tile, ic_chunks = _pick_tiling(oh, ow, kh, kw, sh, iw,
+                                               icp, ocp, oc1x1p)
+        else:
+            ic_chunks = 1
 
         return ConvConfig(
             bs=n, gp=groups, ic=ic, ih=ih, iw=iw, oc=oc, oh=oh, ow=ow,
@@ -240,7 +248,8 @@ class ConvConfig:
             with_sum=sum_dt is not None,
             sum_scale=float(sum_scale),
             sum_dt=dtype.from_any(sum_dt) if sum_dt is not None else None,
-            icp=icp, ocp=ocp, oc1x1p=oc1x1p, row_tile=row_tile)
+            icp=icp, ocp=ocp, oc1x1p=oc1x1p, row_tile=row_tile,
+            ic_chunks=ic_chunks)
 
 
 _VMEM_BUDGET_CACHE = None
@@ -270,16 +279,16 @@ def _default_vmem_budget() -> int:
 
 
 def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
-                   vmem_budget=None) -> int:
+                   vmem_budget=None, ic_chunks=1) -> Optional[int]:
     """Choose output rows per grid step so the working set fits VMEM.
 
     The analogue of the reference's ur_w / workspace sizing
     (src/jit_conv_kernel.cc:643-661). The tile must divide oh (packed-path
     pad tiles are whole tiles); among the divisors that fit the VMEM
-    budget, take the smallest whose matmul M dimension (t * padded width)
-    fills the MXU pipeline (>= 512 rows); tiny tiles pay per-program
-    overheads, oversized tiles waste VMEM that the pipeline needs for
-    double buffering.
+    budget, take the largest whose matmul M dimension (t * padded width)
+    stays <= 2048; tiny tiles pay per-program overheads, oversized tiles
+    waste VMEM that the pipeline needs for double buffering. Returns None
+    when no divisor fits (the caller then chunks ic, see _pick_tiling).
     """
     import os
 
@@ -289,28 +298,65 @@ def _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
         vmem_budget = int(os.environ.get("DF_VMEM_BUDGET", 0)) \
             or _default_vmem_budget()
 
-    k_dim = kh * kw * icp
+    icp_c = icp // ic_chunks          # lanes loaded per grid step
+    k_dim = kh * kw * icp_c
     iwp = round_up(iw + 2, 8)  # padded-width estimate for the flat layouts
 
     def vmem_est(t):
         m = t * iwp
-        src_bytes = 2 * (oh * sh + 2 * t + kh) * iwp * icp  # double-buffered
+        src_bytes = 2 * (oh * sh + 2 * t + kh) * iwp * icp_c  # dbl-buffered
         patch_bytes = m * k_dim
         acc_bytes = 2 * m * ocp * 4
         acc1_bytes = (2 * m * oc1x1p * 4 + m * ocp) if oc1x1p else 0
         wei_bytes = k_dim * ocp + ocp * (oc1x1p or 0)
         out_bytes = 2 * m * (oc1x1p or ocp)
+        scratch_bytes = m * ocp * 4 if ic_chunks > 1 else 0
         return (src_bytes + patch_bytes + acc_bytes + acc1_bytes
-                + wei_bytes + out_bytes)
+                + wei_bytes + out_bytes + scratch_bytes)
 
     divisors = [t for t in range(1, oh + 1) if oh % t == 0]
     feasible = [t for t in divisors if vmem_est(t) <= vmem_budget]
     if not feasible:
-        return 1
+        return None
     # big tiles amortize per-program overheads (measured: M=1792 beats
     # M=768 by ~5pp of roofline); cap at M=2048 to leave VMEM headroom
     best = [t for t in feasible if t * iwp <= 2048]
     return best[-1] if best else feasible[0]
+
+
+def _pick_tiling(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
+                 vmem_budget=None) -> Tuple[int, int]:
+    """(row_tile, ic_chunks): split K when even 1-row tiles blow VMEM.
+
+    The reference bounds its working set by iterating input-channel chunks
+    and accumulating s32 partials across kernel calls
+    (src/op_conv.cc:96-122, nb_ic_blocking src/jit_conv_kernel.cc:643-646);
+    the Pallas analogue is an ic grid dimension accumulating into VMEM
+    scratch. Chunk lanes stay 128-multiples so the K panels remain
+    MXU-native."""
+    from .utils.mathutil import round_up
+
+    iwp = round_up(iw + 2, 8)
+    best = None  # (m, row_tile, ic_chunks)
+    c = 1
+    while c == 1 or icp % (c * LANES) == 0:
+        rt = _pick_row_tile(oh, ow, kh, kw, sh, iw, icp, ocp, oc1x1p,
+                            vmem_budget, ic_chunks=c)
+        if rt is not None:
+            m = rt * iwp
+            if m >= 512:
+                # pipeline-filling tile with the fewest chunks: done
+                # (chunking costs scratch traffic, so never chunk further
+                # once the MXU M dimension is filled)
+                return rt, c
+            # below the fill threshold, a chunked tiling must at least
+            # double the tile to pay for its scratch accumulation
+            if best is None or m >= 2 * best[0]:
+                best = (m, rt, c)
+        c *= 2
+    if best is None:
+        return 1, 1  # nothing fits: run anyway, let Mosaic decide
+    return best[1], best[2]
 
 
 def replace_geometry(cfg: ConvConfig, **kw) -> ConvConfig:
@@ -318,9 +364,9 @@ def replace_geometry(cfg: ConvConfig, **kw) -> ConvConfig:
     (row_tile must always divide oh)."""
     new = dataclasses.replace(cfg, **kw)
     if new.oh % new.row_tile != 0 or "oh" in kw:
-        rt = _pick_row_tile(new.oh, new.ow, new.kh, new.kw, new.sh, new.iw,
-                            new.icp, new.ocp, new.oc1x1p)
-        new = dataclasses.replace(new, row_tile=rt)
+        rt, chunks = _pick_tiling(new.oh, new.ow, new.kh, new.kw, new.sh,
+                                  new.iw, new.icp, new.ocp, new.oc1x1p)
+        new = dataclasses.replace(new, row_tile=rt, ic_chunks=chunks)
     return new
 
 

@@ -91,13 +91,17 @@ def _acc_kw_rolled(patch, w3_ref, cfg: ConvConfig):
     the unshifted patch against the kj tap's weights. pltpu.roll only
     handles 32-bit data — exactly our s32 accumulators. Wrap-around rows
     land on discarded out-of-row outputs.
+
+    w3_ref may be 2-D (whole K panel) or 3-D with a leading singleton
+    (one ic-chunk's panel selected by the grid).
     """
     m = patch.shape[0]
     ksub = cfg.kh * cfg.icp
     interp = env.interpret_kernels()
+    w3 = w3_ref[0] if len(w3_ref.shape) == 3 else w3_ref
     acc = None
     for kj in range(cfg.kw):
-        part = jnp.dot(patch, w3_ref[kj * ksub:(kj + 1) * ksub, :],
+        part = jnp.dot(patch, w3[kj * ksub:(kj + 1) * ksub, :],
                        preferred_element_type=jnp.int32)
         if kj:
             part = (jnp.roll(part, -kj, 0) if interp
@@ -116,26 +120,64 @@ def _sum_term(sum_ref, cfg: ConvConfig):
     return x * np.float32(cfg.sum_scale)
 
 
-def _conv_kernel(*refs, cfg: ConvConfig):
+def _acc_or_chunk(src_ref, w3_ref, cfg, ccfg, scratch_ref, epilogue):
+    """Shared 3x3-accumulation driver for the conv kernels.
+
+    Single-shot (ccfg is None): compute the full s32 acc and run the
+    epilogue. Chunked (the reference's multi-call acc_s32 accumulation,
+    src/op_conv.cc:96-122): each ic-chunk grid step accumulates its
+    partial into VMEM scratch; the last chunk runs the epilogue.
+    """
+    pcfg = ccfg if ccfg is not None else cfg
+    patch = _row_patch(src_ref, pcfg, pl.program_id(1))
+    part = _acc_kw_rolled(patch, w3_ref, pcfg)
+    if ccfg is None:
+        epilogue(part)
+        return
+    c = pl.program_id(2)
+
+    @pl.when(c == 0)
+    def _init():
+        scratch_ref[...] = part
+
+    @pl.when(c != 0)
+    def _accum():
+        scratch_ref[...] = scratch_ref[...] + part
+
+    @pl.when(c == pl.num_programs(2) - 1)
+    def _finish():
+        epilogue(scratch_ref[...])
+
+
+def _conv_kernel(*refs, cfg: ConvConfig, ccfg: ConvConfig = None):
+    scratch_ref = None
+    if ccfg is not None:
+        *refs, scratch_ref = refs
     if cfg.with_sum:
         (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref, sum_ref,
          out_ref) = refs
     else:
         src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref, out_ref = refs
         sum_ref = None
-    patch = _row_patch(src_ref, cfg, pl.program_id(1))
-    acc = _acc_kw_rolled(patch, w3_ref, cfg)
-    acc = acc + corr0_ref[...]                     # exact u8-shift correction
-    res = requant(acc,
-                  bias0_ref[...] if cfg.conv0_with_bias else None,
-                  scale0_ref[...], cfg.conv0_relu, cfg.conv0_round,
-                  cfg.dst_dt,
-                  sum_term=None if sum_ref is None else _sum_term(sum_ref,
-                                                                  cfg))
-    out_ref[0] = res[:, :cfg.oc]
+
+    def epilogue(acc):
+        acc = acc + corr0_ref[...]                 # exact u8-shift correction
+        res = requant(acc,
+                      bias0_ref[...] if cfg.conv0_with_bias else None,
+                      scale0_ref[...], cfg.conv0_relu, cfg.conv0_round,
+                      cfg.dst_dt,
+                      sum_term=None if sum_ref is None
+                      else _sum_term(sum_ref, cfg))
+        out_ref[0] = res[:, :cfg.oc]
+
+    _acc_or_chunk(src_ref, w3_ref, cfg, ccfg, scratch_ref, epilogue)
 
 
-def _conv_fused_kernel(*refs, cfg: ConvConfig, emit_acc1: bool = False):
+def _conv_fused_kernel(*refs, cfg: ConvConfig, emit_acc1: bool = False,
+                       ccfg: ConvConfig = None):
+    scratch_ref = None
+    if ccfg is not None:
+        *refs, scratch_ref = refs
     if emit_acc1:
         (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
          w1_ref, corr1_ref, out_ref) = refs
@@ -147,35 +189,39 @@ def _conv_fused_kernel(*refs, cfg: ConvConfig, emit_acc1: bool = False):
         (src_ref, w3_ref, corr0_ref, bias0_ref, scale0_ref,
          w1_ref, corr1_ref, bias1_ref, scale1_ref, out_ref) = refs
         sum_ref = None
-    patch = _row_patch(src_ref, cfg, pl.program_id(1))
-    acc = _acc_kw_rolled(patch, w3_ref, cfg)
-    acc = acc + corr0_ref[...]
-    # 3x3 epilogue -> u8 intermediate, pre-shifted to s8 for the MXU.
-    # Stays in VMEM: the x86 register-residency property
-    # (jit_conv_kernel.cc:275-277) maps to "never leaves the chip".
-    x1 = requant_to_u8_centered(
-        acc, bias0_ref[...] if cfg.conv0_with_bias else None,
-        scale0_ref[...], cfg.conv0_round)          # (T*iwp, ocp) s8
-    acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
-    acc1 = acc1 + corr1_ref[...]
-    if emit_acc1:
-        # TP partial-sum mode: the raw s32 1x1 accumulator leaves the
-        # kernel; psum over the tp axis then requant happen outside
-        # (parallel/shard.py — requant is nonlinear so it must follow the
-        # collective). int32 adds commute => bit-exact vs single-device.
-        out_ref[0] = acc1
-        return
-    res = requant(acc1,
-                  bias1_ref[...] if cfg.conv1_with_bias else None,
-                  scale1_ref[...], cfg.conv1_relu, cfg.conv1_round,
-                  cfg.dst_dt,
-                  sum_term=None if sum_ref is None else _sum_term(sum_ref,
-                                                                  cfg))
-    out_ref[0] = res[:, :cfg.oc1x1]
+
+    def epilogue(acc):
+        acc = acc + corr0_ref[...]
+        # 3x3 epilogue -> u8 intermediate, pre-shifted to s8 for the MXU.
+        # Stays in VMEM: the x86 register-residency property
+        # (jit_conv_kernel.cc:275-277) maps to "never leaves the chip".
+        x1 = requant_to_u8_centered(
+            acc, bias0_ref[...] if cfg.conv0_with_bias else None,
+            scale0_ref[...], cfg.conv0_round)          # (T*iwp, ocp) s8
+        acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
+        acc1 = acc1 + corr1_ref[...]
+        if emit_acc1:
+            # TP partial-sum mode: the raw s32 1x1 accumulator leaves the
+            # kernel; psum over the tp axis then requant happen outside
+            # (parallel/shard.py — requant is nonlinear so it must follow
+            # the collective). int32 adds commute => bit-exact vs
+            # single-device.
+            out_ref[0] = acc1
+            return
+        res = requant(acc1,
+                      bias1_ref[...] if cfg.conv1_with_bias else None,
+                      scale1_ref[...], cfg.conv1_relu, cfg.conv1_round,
+                      cfg.dst_dt,
+                      sum_term=None if sum_ref is None
+                      else _sum_term(sum_ref, cfg))
+        out_ref[0] = res[:, :cfg.oc1x1]
+
+    _acc_or_chunk(src_ref, w3_ref, cfg, ccfg, scratch_ref, epilogue)
 
 
-def _vec_spec(n):
-    return pl.BlockSpec((1, n), lambda b, t: (0, 0), memory_space=pltpu.VMEM)
+def _vec_spec(n, rank3: bool = False):
+    ix = (lambda b, t, c: (0, 0)) if rank3 else (lambda b, t: (0, 0))
+    return pl.BlockSpec((1, n), ix, memory_space=pltpu.VMEM)
 
 
 def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
@@ -184,41 +230,74 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
     """Stride-1 Pallas path over the flat (ihp*iwp8, icp) image.
 
     emit_acc1: fused path only — emit the raw s32 1x1 accumulator (all
-    oc1x1p lanes) instead of the requantized dst, for TP partial sums."""
+    oc1x1p lanes) instead of the requantized dst, for TP partial sums.
+
+    cfg.ic_chunks > 1 adds an input-channel grid dimension (innermost):
+    each step loads only its icp/ic_chunks lanes of the image and its K
+    panel, accumulating partials in VMEM scratch — the reference's
+    bounded-working-set ic chunking (src/op_conv.cc:96-122,
+    nb_ic_blocking src/jit_conv_kernel.cc:643-646)."""
+    import dataclasses
+
     n = srcp.shape[0]
     ihp = cfg.ih + 2 * cfg.ph
     iwp = _flat_iwp(cfg)
     flat = srcp.reshape(n, ihp * iwp, cfg.icp)
-    k_dim = cfg.kh * cfg.kw * cfg.icp
-    grid = (cfg.bs, cfg.oh // cfg.row_tile)
+    chunks = cfg.ic_chunks
+    rank3 = chunks > 1
     out_oc = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
     if emit_acc1:
         out_oc = cfg.oc1x1p
     m_tile = cfg.row_tile * iwp
-
-    src_spec = pl.BlockSpec((1, ihp * iwp, cfg.icp),
-                            lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)
-    w3_spec = pl.BlockSpec((k_dim, cfg.ocp), lambda b, t: (0, 0),
-                           memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((1, m_tile, out_oc), lambda b, t: (b, t, 0),
+    ccfg = None
+    scratch_shapes = []
+    if rank3:
+        icp_c = cfg.icp // chunks
+        ccfg = dataclasses.replace(cfg, icp=icp_c)
+        k_dim = cfg.kh * cfg.kw * icp_c
+        # regroup the K panel rows (kw, kh, ic)-major -> per-chunk panels
+        w3 = w3.reshape(cfg.kw * cfg.kh, chunks, icp_c, cfg.ocp)
+        w3 = jnp.transpose(w3, (1, 0, 2, 3)).reshape(chunks, k_dim, cfg.ocp)
+        grid = (cfg.bs, cfg.oh // cfg.row_tile, chunks)
+        src_spec = pl.BlockSpec((1, ihp * iwp, icp_c),
+                                lambda b, t, c: (b, 0, c),
+                                memory_space=pltpu.VMEM)
+        w3_spec = pl.BlockSpec((1, k_dim, cfg.ocp),
+                               lambda b, t, c: (c, 0, 0),
+                               memory_space=pltpu.VMEM)
+        ix_tile = lambda b, t, c: (b, t, 0)  # noqa: E731
+        ix_const = lambda b, t, c: (0, 0)  # noqa: E731
+        scratch_shapes = [pltpu.VMEM((m_tile, cfg.ocp), jnp.int32)]
+    else:
+        k_dim = cfg.kh * cfg.kw * cfg.icp
+        grid = (cfg.bs, cfg.oh // cfg.row_tile)
+        src_spec = pl.BlockSpec((1, ihp * iwp, cfg.icp),
+                                lambda b, t: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+        w3_spec = pl.BlockSpec((k_dim, cfg.ocp), lambda b, t: (0, 0),
+                               memory_space=pltpu.VMEM)
+        ix_tile = lambda b, t: (b, t, 0)  # noqa: E731
+        ix_const = lambda b, t: (0, 0)  # noqa: E731
+    out_spec = pl.BlockSpec((1, m_tile, out_oc), ix_tile,
                             memory_space=pltpu.VMEM)
-    in_specs = [src_spec, w3_spec, _vec_spec(cfg.ocp), _vec_spec(cfg.ocp),
-                _vec_spec(cfg.ocp)]
+    in_specs = [src_spec, w3_spec, _vec_spec(cfg.ocp, rank3),
+                _vec_spec(cfg.ocp, rank3), _vec_spec(cfg.ocp, rank3)]
     args = [flat, w3, corr0.reshape(1, -1), bias0.reshape(1, -1),
             scale0.reshape(1, -1)]
     if cfg.fuse_conv1x1:
         kernel = functools.partial(_conv_fused_kernel, cfg=cfg,
-                                   emit_acc1=emit_acc1)
+                                   emit_acc1=emit_acc1, ccfg=ccfg)
         in_specs += [
-            pl.BlockSpec((cfg.ocp, cfg.oc1x1p), lambda b, t: (0, 0),
+            pl.BlockSpec((cfg.ocp, cfg.oc1x1p), ix_const,
                          memory_space=pltpu.VMEM),
-            _vec_spec(cfg.oc1x1p)]
+            _vec_spec(cfg.oc1x1p, rank3)]
         args += [w1, corr1.reshape(1, -1)]
         if not emit_acc1:
-            in_specs += [_vec_spec(cfg.oc1x1p), _vec_spec(cfg.oc1x1p)]
+            in_specs += [_vec_spec(cfg.oc1x1p, rank3),
+                         _vec_spec(cfg.oc1x1p, rank3)]
             args += [bias1.reshape(1, -1), scale1.reshape(1, -1)]
     else:
-        kernel = functools.partial(_conv_kernel, cfg=cfg)
+        kernel = functools.partial(_conv_kernel, cfg=cfg, ccfg=ccfg)
     if cfg.with_sum:
         # expand the sum operand to the flat (oh*iwp8, ocp) layout; padded
         # columns/lanes feed only discarded outputs
@@ -226,17 +305,17 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
         sflat = jnp.pad(sum_src, ((0, 0), (0, 0), (0, iwp - cfg.ow),
                                   (0, ocp_out - out_oc)))
         sflat = sflat.reshape(n, cfg.oh * iwp, ocp_out)
-        in_specs.append(pl.BlockSpec((1, m_tile, ocp_out),
-                                     lambda b, t: (b, t, 0),
+        in_specs.append(pl.BlockSpec((1, m_tile, ocp_out), ix_tile,
                                      memory_space=pltpu.VMEM))
         args.append(sflat)
 
-    flops = 2 * m_tile * k_dim * cfg.ocp
-    bytes_accessed = (ihp * iwp * cfg.icp + k_dim * cfg.ocp
-                      + m_tile * out_oc * cfg.dst_dt.size)
+    flops = 2 * m_tile * cfg.kh * cfg.kw * cfg.icp * cfg.ocp
+    bytes_accessed = (ihp * iwp * cfg.icp + cfg.kh * cfg.kw * cfg.icp
+                      * cfg.ocp + m_tile * out_oc * cfg.dst_dt.size)
     if cfg.fuse_conv1x1:
         flops += 2 * m_tile * cfg.ocp * cfg.oc1x1p
         bytes_accessed += cfg.ocp * cfg.oc1x1p
+    ntiles = grid[0] * grid[1]
 
     out = pl.pallas_call(
         kernel,
@@ -246,9 +325,10 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
+        scratch_shapes=scratch_shapes,
         cost_estimate=pl.CostEstimate(
-            flops=flops * grid[0] * grid[1],
-            bytes_accessed=bytes_accessed * grid[0] * grid[1],
+            flops=flops * ntiles,
+            bytes_accessed=bytes_accessed * ntiles,
             transcendentals=0),
         interpret=env.interpret_kernels(),
     )(*args)

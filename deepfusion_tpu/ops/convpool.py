@@ -164,11 +164,13 @@ class ConvPoolOp:
         from ..utils.logger import check
         check(pool2_fusable(cfg, pc), "geometry not single-kernel fusable "
                                       "(see convpool.pool2_fusable)")
-        if cfg.row_tile % 2:
+        if cfg.row_tile % 2 or cfg.ic_chunks != 1:
             # pool pairs conv rows within a tile: re-pick an even divisor
+            # (and read the whole K panel — this kernel has no ic chunking)
             evens = [t for t in range(2, cfg.oh + 1, 2)
                      if cfg.oh % t == 0 and t <= cfg.row_tile]
-            cfg = dataclasses.replace(cfg, row_tile=evens[-1] if evens else 2)
+            cfg = dataclasses.replace(cfg, ic_chunks=1,
+                                      row_tile=evens[-1] if evens else 2)
         self.cfg, self.pc = cfg, pc
         packed = layout.pack_all(cfg, wei, bia)
         self._operands = [jnp.asarray(packed["w3"]),

@@ -208,3 +208,70 @@ def test_conv_rejects_groups():
     with pytest.raises(CheckError):
         ConvConfig.make((2, 13, 13, 32), (32, 32, 3, 3), None, (1, 1), (0, 0),
                         (2, 11, 11, 32), "u8", groups=2)
+
+
+# ----- VMEM-bounded ic-chunked accumulation (VERDICT r1 #9; the
+# reference's nb_ic_blocking, src/jit_conv_kernel.cc:643-646 and the
+# multi-call acc_s32 accumulation, src/op_conv.cc:96-122) -----
+
+def _chunked_cfg(rng, oc=128, fused=False, with_sum=False, budget=1_200_000,
+                 monkeypatch=None):
+    n, ic, hw = 1, 256, 24
+    src = fill_data((n, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    monkeypatch.setenv("DF_VMEM_BUDGET", str(budget))
+    kw = {}
+    wei1 = bia1 = None
+    if fused:
+        wei1 = fill_data((64, oc, 1, 1), "s8", rng)
+        bia1 = fill_data((64,), "s32", rng)
+        kw = dict(wei1x1_shape=(64, oc, 1, 1), bia1x1_dt=bia1.dtype,
+                  conv1_relu=True, conv1_scales=(0.2,))
+    if with_sum:
+        kw.update(sum_dt="u8", sum_scale=0.5)
+    cfg = ConvConfig.make(
+        (n, hw, hw, ic), (oc, ic, 3, 3), bia.dtype, (1, 1), (1, 1),
+        (n, hw, hw, 64 if fused else oc), "u8", conv0_scales=(0.02,), **kw)
+    return cfg, src, wei, bia, wei1, bia1
+
+
+def test_vmem_budget_picks_ic_chunks(rng, monkeypatch):
+    cfg, *_ = _chunked_cfg(rng, monkeypatch=monkeypatch)
+    assert cfg.ic_chunks > 1, (cfg.ic_chunks, cfg.row_tile)
+    assert cfg.icp % (cfg.ic_chunks * 128) == 0
+
+
+def test_conv_ic_chunked_exact(rng, monkeypatch):
+    from deepfusion_tpu.ops.conv import ConvOp
+    cfg, src, wei, bia, _, _ = _chunked_cfg(rng, monkeypatch=monkeypatch)
+    assert cfg.ic_chunks > 1
+    out = ConvOp(cfg, wei, bia)(src)
+    compare(out, conv_ref(cfg, src, wei, bia), "ic-chunked conv")
+
+
+def test_conv_ic_chunked_fused_with_sum(rng, monkeypatch):
+    from deepfusion_tpu.ops.conv import ConvOp
+    cfg, src, wei, bia, wei1, bia1 = _chunked_cfg(
+        rng, fused=True, with_sum=True, monkeypatch=monkeypatch)
+    assert cfg.ic_chunks > 1
+    sum_src = fill_data((cfg.bs, cfg.oh, cfg.ow, 64), "u8", rng)
+    out = ConvOp(cfg, wei, bia, wei1, bia1)(src, sum_src=sum_src)
+    compare(out, conv_ref(cfg, src, wei, bia, wei1, bia1, sum_src=sum_src),
+            "ic-chunked fused conv + sum")
+
+
+@pytest.mark.slow
+def test_conv_reference_large_shape(rng):
+    # the reference's declared big case (test/test_conv.cc:86-92):
+    # mb2 ic32 @120x360 -> oc64; runs the Pallas path within budget
+    n, ic, ih, iw, oc = 2, 32, 120, 360, 64
+    src = fill_data((n, ih, iw, ic), "u8", rng)
+    wei = fill_data((oc, ic, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    cfg = ConvConfig.make((n, ih, iw, ic), (oc, ic, 3, 3), bia.dtype,
+                          (1, 1), (1, 1), (n, ih, iw, oc), "u8",
+                          conv0_scales=(0.02,))
+    out = conv(src, wei, bia, (1, 1), (1, 1), dst_dtype="u8",
+               conv0_scales=(0.02,))
+    compare(out, conv_ref(cfg, src, wei, bia), "reference 120x360 case")
