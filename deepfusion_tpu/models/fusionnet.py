@@ -161,9 +161,9 @@ class FusionNet:
     def build_packed(self):
         """Construct the layout-persistent pipeline (ops/packed.py): every
         stride-1 activation stays in the packed domain — conv, concat,
-        residual sum, and the 2x2 maxpool all read and write packed arrays,
-        so the only HBM relayouts in the whole model are the boundary
-        pack/unpack and the tiny global-pool head."""
+        residual sum, the 2x2 maxpool, and the global avg pool all read
+        packed arrays, so the only HBM relayout in the whole model is the
+        boundary pack of the input image."""
         if self._packed is not None:
             return self._packed
         from ..ops.packed import PackedSpec
@@ -195,7 +195,7 @@ class FusionNet:
         """Forward pass bit-identical to ``__call__`` (u8 ReLU is identity
         through concat; max pooling and the saturating residual sum commute
         exactly with the -128 centering — see ops/packed.py docstrings)."""
-        from ..ops.packed import (pack_image, unpack_image,
+        from ..ops.packed import (pack_image, packed_global_avgpool,
                                   packed_sum_relu_maxpool2)
         P = self.build_packed()
         x = pack_image(x_u8, P["stem"].sin, xp=jnp)
@@ -206,9 +206,10 @@ class FusionNet:
         y, _ = packed_sum_relu_maxpool2(
             (a, b), r, (P["block1"].sout, P["branch"].sout), P["res"].sout)
         y = P["block2"](y)
-        y = unpack_image(y, P["block2"].sout, xp=jnp)
-        y = pool(y, "avg_exc", (y.shape[1], y.shape[2]),
-                 (y.shape[1], y.shape[2]), (0, 0))
+        # global avg pool straight off the packed array: the activations
+        # never unpack anywhere in the graph (the -128 fill makes non-image
+        # slots contribute 0 to the u8 sum)
+        y = packed_global_avgpool(y, P["block2"].sout)
         logits = self.head(y)
         return logits.reshape(logits.shape[0], -1)
 

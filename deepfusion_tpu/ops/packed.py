@@ -358,7 +358,8 @@ def _narrow_cfg(cfg: ConvConfig) -> ConvConfig:
     """
     ocp = max(round_up(cfg.oc, 32), 32)
     oc1x1p = max(round_up(cfg.oc1x1, 32), 32) if cfg.fuse_conv1x1 else 0
-    return dataclasses.replace(cfg, ocp=ocp, oc1x1p=oc1x1p)
+    # the packed kernel reads the whole K panel per step (no ic chunking)
+    return dataclasses.replace(cfg, ocp=ocp, oc1x1p=oc1x1p, ic_chunks=1)
 
 
 def _same_image_geometry(specs):
@@ -573,6 +574,39 @@ def packed_sum_relu_maxpool2(ys, r, yspecs, rspec: PackedSpec,
                           cp=rspec.cp, halo=rspec.halo // 2,
                           col_off=rspec.col_off // 2, iwp=rspec.iwp // 2)
     return _sum_pool_call(yspecs, rspec, tuple(ys), r), out_spec
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "round"))
+def packed_global_avgpool(arr, spec: PackedSpec, round=None):
+    """Global average pool (avg-exclude-padding) straight off a packed array.
+
+    Bit-identical to ``pool(unpack_image(arr, spec), "avg_exc", (h, w),
+    (h, w), (0, 0))`` but with no unpack relayout: every non-image slot of
+    a packed array holds exactly -128 (u8 zero), so in the u8 domain it
+    contributes 0 to the sum — the kernel just reduces the WHOLE array
+    (stored + 128 == u8 value summed implicitly via a constant term):
+
+        sum_u8(image) = sum_s8(all slots) + 128 * n_slots
+
+    The divide/round/saturate epilogue matches ops/pool.py's avg_exc chain
+    exactly (int32 sums -> f32 * (1/(h*w)) -> round -> saturate), so the
+    result is bitwise the dense op's. Returns (n, 1, 1, c) u8 for the
+    classification head. Reference pooling semantics:
+    test/test_conv_relu_pooling.cc:238-259 (avg excludes padding)."""
+    from ..types import round_mode
+    from .requant import round_f32, saturate_to
+    if round is None:
+        round = round_mode.nearest
+    arr = jnp.asarray(arr)
+    n = arr.shape[0]
+    check(arr.shape == spec.array_shape(n),
+          "packed_global_avgpool: array does not match spec")
+    n_slots = spec.rows * spec.iwp
+    sums = (jnp.sum(arr.astype(jnp.int32), axis=1)
+            + jnp.int32(128 * n_slots))                    # (n, cp) u8 sums
+    val = sums.astype(jnp.float32) * np.float32(1.0 / (spec.h * spec.w))
+    out = saturate_to(round_f32(val, round), dtype.u8)
+    return out[:, :spec.c].reshape(n, 1, 1, spec.c)
 
 
 @functools.partial(jax.jit, static_argnames=("sin", "sout"))

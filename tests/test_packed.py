@@ -261,3 +261,16 @@ def test_packed_sum_relu_maxpool2(rng):
     compare(unpack_image(np.asarray(out), ospec), expect, "fused sum-pool")
     # output must itself be a valid packed image
     np.testing.assert_array_equal(np.asarray(out), pack_image(expect, ospec))
+
+
+def test_packed_global_avgpool(rng):
+    from deepfusion_tpu.ops.packed import packed_global_avgpool
+    from deepfusion_tpu.ops.pool import pool
+    # odd geometry + pad lanes: cp > c exercises the lane slice; values
+    # span the full u8 range so the round/saturate chain is exercised
+    spec = PackedSpec.make(9, 13, 40, halo=3, col_off=2)
+    x = rng.integers(0, 256, (3, 9, 13, 40), np.uint8)
+    out = np.asarray(packed_global_avgpool(pack_image(x, spec), spec))
+    expect = np.asarray(pool(x, "avg_exc", (9, 13), (9, 13), (0, 0)))
+    compare(out, expect, "packed global avg pool")
+    assert out.shape == (3, 1, 1, 40) and out.dtype == np.uint8
