@@ -124,23 +124,29 @@ def timeit_chain(step_fn, x0, iters, reps=5, spread_s=0.0):
     turns into unbounded error on short chains — it can even read above
     hardware peak).
 
-    The tunneled chip is also shared: identical kernels measure 30-60%
-    apart depending on co-tenant load, in slow states persisting minutes.
-    reps are therefore spread over `spread_s` seconds of wall time and the
-    best is taken — the kernel's capability, not the neighbours'."""
+    The per-rep difference still carries the tunnel's RTT *variance*
+    (±10ms between the two readbacks), so short chains are noisy: at 24
+    iters a min-of-reps estimate can undershoot truth by 30%+ (measured —
+    one sweep read an absurd 0.000 ms). Hence (a) the per-iteration cost
+    must dominate the difference (use iters >= 64 for sub-ms kernels) and
+    (b) the MEDIAN of reps is reported, never the min: the median of a
+    symmetric-noise difference is unbiased, while min() compounds with
+    rep count. reps are spread over `spread_s` seconds so a transient
+    co-tenant slow phase doesn't dominate every sample."""
     chain1 = make_chain(step_fn, iters)
     chain4 = make_chain(step_fn, 4 * iters)
     float(chain1(x0))                   # compile + warm
     float(chain4(x0))
     gap = spread_s / max(reps - 1, 1)
-    best = float("inf")
+    diffs = []
     for r in range(reps):
         if r and gap:
             time.sleep(gap)
         t1 = _timed_readback(chain1, x0)
         t4 = _timed_readback(chain4, x0)
-        best = min(best, (t4 - t1) / (3 * iters))
-    return max(best, 1e-12)
+        diffs.append((t4 - t1) / (3 * iters))
+    diffs.sort()
+    return max(diffs[len(diffs) // 2], 1e-12)
 
 
 def bench_fused(args):
@@ -416,8 +422,10 @@ def main():
     p.add_argument("--oc1x1", type=int, default=256)
     p.add_argument("--stride", type=int, default=1,
                    help="conv: stride (s2d-lowered Pallas path when > 1)")
-    p.add_argument("--iters", type=int, default=32,
-                   help="chain length inside one jit")
+    p.add_argument("--iters", type=int, default=96,
+                   help="chain length inside one jit (the paired-chain "
+                        "difference spans 3*iters iterations; keep it "
+                        ">=50x the tunnel RTT jitter)")
     p.add_argument("--compare-xla", action="store_true",
                    help="also time a plain-XLA composition of the same op")
     p.add_argument("--dense", action="store_true",
