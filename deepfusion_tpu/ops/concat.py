@@ -72,6 +72,7 @@ def _concat_call(cfg: ConcatConfig, *srcs):
         ],
         out_specs=pl.BlockSpec((tile, cfg.oc), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=env.tpu_compiler_params(("parallel",)),
         interpret=env.interpret_kernels(),
     )(*flat)
     return out.reshape(cfg.bs, cfg.h, cfg.w, cfg.oc)

@@ -326,6 +326,10 @@ def _conv_pallas(cfg: ConvConfig, srcp, w3, corr0, bias0, scale0,
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=scratch_shapes,
+        # batch and row-tile dims are independent (unique out block per
+        # step); the ic-chunk dim accumulates into scratch -> arbitrary
+        compiler_params=env.tpu_compiler_params(
+            ("parallel", "parallel") + (("arbitrary",) if rank3 else ())),
         cost_estimate=pl.CostEstimate(
             flops=flops * ntiles,
             bytes_accessed=bytes_accessed * ntiles,

@@ -144,6 +144,7 @@ def _convpool_call(cfg: ConvConfig, pc: PoolConfig, src_u8,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, m_out, cfg.oc), lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=2 * m_tile * k_dim * cfg.ocp * grid[0] * grid[1],
             bytes_accessed=(ihp * iwp * cfg.icp // grid[1]

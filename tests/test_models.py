@@ -43,3 +43,48 @@ def test_packed_path_bit_identical():
     dense = np.asarray(net(x))
     packed = np.asarray(net.jit_packed()(x))
     np.testing.assert_array_equal(dense, packed)
+
+
+# ----- ResFusionNet: strided stem + sum post-op residual + fused
+# conv+pool downsample (the op families FusionNet does not touch) -----
+
+@pytest.fixture(scope="module")
+def res_net():
+    from deepfusion_tpu.models import ResFusionNet, ResFusionNetConfig
+    return ResFusionNet(ResFusionNetConfig(batch=1, hw=16, in_ch=16,
+                                           width=32, num_classes=16))
+
+
+def test_resfusion_forward_shape(res_net):
+    x = res_net.example_input()
+    out = np.asarray(res_net(x))
+    assert out.shape == (1, 16)
+    assert out.dtype == np.float32
+    assert np.isfinite(out).all()
+
+
+def test_resfusion_matches_oracle(res_net):
+    """The whole model forward, differentially against the numpy oracle
+    composition (conv_ref / pool_ref / the sum post-op contract)."""
+    from deepfusion_tpu.config import PoolConfig
+    from deepfusion_tpu.ops.ref import conv_ref, pool_ref
+
+    P = res_net.params
+    x = res_net.example_input()
+    y = conv_ref(P["stem"].cfg, x, P["stem"].wei, P["stem"].bia)
+    blk = P["block1"]
+    y2 = conv_ref(blk.cfg, y, blk.wei, blk.bia, blk.wei1, blk.bia1,
+                  sum_src=y)
+    dn = P["down"]
+    y3 = pool_ref(conv_ref(dn.cfg, y2, dn.wei, dn.bia), res_net.down.pc)
+    b2 = P["block2"]
+    y4 = conv_ref(b2.cfg, y3, b2.wei, b2.bia, b2.wei1, b2.bia1)
+    hw2 = y4.shape[1]
+    pc2 = PoolConfig.make("avg_exc", (hw2, hw2), (hw2, hw2), (hw2, hw2),
+                          (0, 0))
+    y5 = pool_ref(y4, pc2)
+    hd = P["head"]
+    logits = conv_ref(hd.cfg, y5, hd.wei, hd.bia)
+    got = np.asarray(res_net(x))
+    np.testing.assert_array_equal(
+        got, np.asarray(logits).reshape(logits.shape[0], -1))
