@@ -98,11 +98,27 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
     if zero_mask is not None:
         x = x * zero_mask
     x = jnp.maximum(x, 0.0)
+    if mode == round_mode.nearest:
+        # Magic-number RNE + byte extract, saving VPU passes over the
+        # round/sub/min/convert chain. Exactness argument:
+        #   * min(round(x), 255) == round(min(x, 255)) — round is monotone
+        #     and fixes 255, so the clamp commutes to before the round;
+        #   * for v in [0, 255], the f32 sum 2^23 + x rounds the fraction
+        #     with the hardware's RNE (the rounding we need) and its bit
+        #     pattern is 0x4B000000 + v, so the low byte IS v;
+        #   * v ^ 0x80 == (v - 128) mod 256 — the two's-complement bit
+        #     pattern of the -128 shift — and the i32->i8 convert keeps
+        #     the low byte.
+        # Verified bit-exact vs the reference chain over every acc value
+        # by the full-range differential tests (tests/test_packed.py,
+        # tests/test_fused.py).
+        x = jnp.minimum(x, 255.0)
+        bits = jax.lax.bitcast_convert_type(
+            x + jnp.float32(8388608.0), jnp.int32)
+        return (bits ^ 128).astype(jnp.int8)
+    # round-down mode: floor, then the folded saturate+shift (x integral
+    # and >= 0, so -128 is exact in f32 and one min replaces the clamp
+    # pair; the i32->i8 cast needs no saturation)
     x = round_f32(x, mode)
-    # folded saturate+shift: x is integral and >= 0 after relu+round, so
-    # the -128 shift is exact in f32 (integers << 2^24), one min replaces
-    # the clamp pair, and the i32->i8 cast needs no saturation (value is
-    # already in [-128, 127]). Bit-exact vs min(x,255)-128 (probe-verified)
-    # and ~1.4pp of roofline cheaper on the VPU.
     x = jnp.minimum(x - 128.0, 127.0)
     return x.astype(jnp.int32).astype(jnp.int8)
