@@ -75,24 +75,55 @@ def _rebatch(cfg: ConvConfig, bs: int) -> ConvConfig:
 
 # ------------------------------------------------------------------ TP
 
+def tp_wire_bytes(cfg: ConvConfig, n_shard: int, wire: str) -> int:
+    """Analytic per-device ICI bytes for one tp_fused_conv call.
+
+    Ring cost model: an all-reduce (psum) of B bytes moves 2*(N-1)/N * B
+    per device (reduce_scatter + all_gather of the same dtype); the
+    reduce_scatter wire moves (N-1)/N * B_s32 for the scatter plus
+    (N-1)/N * B_dst for the gather of the already-requantized output —
+    the s32->u8 width drop on the gather leg plus the nonexistence of a
+    full-width replicated accumulator is the point."""
+    elems = cfg.bs * cfg.oh * cfg.ow * cfg.oc1x1p
+    if wire == "psum":
+        return int(2 * (n_shard - 1) / n_shard * elems * 4)
+    return int((n_shard - 1) / n_shard * elems * (4 + cfg.dst_dt.size))
+
+
 def tp_fused_conv(cfg: ConvConfig, wei, bia, wei1x1, bia1x1,
-                  mesh: Mesh, axis: str = "tp"):
+                  mesh: Mesh, axis: str = "tp",
+                  wire: str = "reduce_scatter"):
     """Tensor-parallel fused conv3x3+1x1: conv0 oc sharded over `axis`.
 
     Sharding plan (scaling-book style):
       wei   (oc,ic,kh,kw)  -> oc sharded     | scales0/bias0 shard with oc
-      wei1  (oc1,oc,1,1)   -> ic(=oc) sharded| psum completes the contraction
-      out   replicated after psum + requant (requant must follow the
-            collective: it is nonlinear, so partial-sum requant would be
-            wrong — this is the TP-correctness subtlety).
+      wei1  (oc1,oc,1,1)   -> ic(=oc) sharded| the collective completes the
+            contraction BEFORE requantization (requant is nonlinear, so
+            partial-sum requant would be wrong — the TP-correctness
+            subtlety); int32 adds commute, so both wires are bit-exact vs
+            single-device.
+
+    wire = "reduce_scatter" (default): psum_scatter the s32 1x1 accumulator
+      over the oc1x1 lane dim, requant the local lane shard (bias1/scale1
+      shard with it), all_gather the narrow u8/s8 result — (N-1)/N*(4+1)
+      bytes/elem on the wire and a 1/N share of the requant work, vs the
+      psum wire's 2*(N-1)/N*4 bytes/elem + full-width replicated requant
+      (VERDICT r2 weak #5). See tp_wire_bytes.
+    wire = "psum": all-reduce the full s32 accumulator, requant replicated
+      — kept as the bit-exactness oracle.
 
     Each shard adds its own u8-shift correction (128 * colsum of its w1
     rows); the corrections sum to the global correction, keeping the
     result bit-exact vs single-device.
     """
     check(cfg.fuse_conv1x1, "tp_fused_conv needs the fused config")
+    check(wire in ("psum", "reduce_scatter"),
+          f"unknown tp wire {wire!r} (psum | reduce_scatter)")
     n_shard = mesh.shape[axis]
     check(cfg.oc % n_shard == 0, f"oc {cfg.oc} not divisible by {axis}")
+    if wire == "reduce_scatter":
+        check(cfg.oc1x1p % n_shard == 0,
+              f"oc1x1p {cfg.oc1x1p} not divisible by {axis}")
     oc_l = cfg.oc // n_shard
 
     import dataclasses
@@ -124,31 +155,49 @@ def tp_fused_conv(cfg: ConvConfig, wei, bia, wei1x1, bia1x1,
             "w1": w1_l,
             "corr1": layout.u8_shift_correction(w1_l),
         })
+    bias1_full = layout.widen_bias(bia1x1, cfg.bia1x1_dt, cfg.oc1x1p)
+    scale1_full = layout.widen_scales(cfg.conv1_scales, cfg.oc1x1,
+                                      cfg.oc1x1p)
+    if wire == "reduce_scatter":
+        # bias1/scale1 shard with the scattered oc1x1 lanes
+        for d in range(n_shard):
+            chunk = cfg.oc1x1p // n_shard
+            shards[d]["bias1"] = bias1_full[d * chunk:(d + 1) * chunk]
+            shards[d]["scale1"] = scale1_full[d * chunk:(d + 1) * chunk]
     stacked = {k: jnp.asarray(np.stack([s[k] for s in shards]))
                for k in shards[0]}
-    bias1 = jnp.asarray(layout.widen_bias(bia1x1, cfg.bia1x1_dt, cfg.oc1x1p))
-    scale1 = jnp.asarray(layout.widen_scales(
-        cfg.conv1_scales, cfg.oc1x1, cfg.oc1x1p))
+    bias1 = jnp.asarray(bias1_full)
+    scale1 = jnp.asarray(scale1_full)
+    keys = tuple(shards[0])
 
-    def local_fn(src, w3, corr0, bias0, scale0, w1_l, corr1):
-        # squeeze the leading shard dim added by stacking
+    def local_fn(src, *sharded):
+        ops_ = dict(zip(keys, sharded))
+        # [0] squeezes the leading shard dim added by stacking
         acc1 = _conv_call_acc1(
-            local_cfg, src, w3[0], corr0[0], bias0[0], scale0[0],
-            w1_l[0], corr1[0])
-        acc1 = jax.lax.psum(acc1, axis)
-        res = requant(acc1, bias1, scale1, cfg.conv1_relu, cfg.conv1_round,
-                      cfg.dst_dt)
-        return res[..., :cfg.oc1x1]
+            local_cfg, src, ops_["w3"][0], ops_["corr0"][0], ops_["bias0"][0],
+            ops_["scale0"][0], ops_["w1"][0], ops_["corr1"][0])
+        if wire == "psum":
+            acc1 = jax.lax.psum(acc1, axis)
+            res = requant(acc1, bias1, scale1, cfg.conv1_relu,
+                          cfg.conv1_round, cfg.dst_dt)
+            return res[..., :cfg.oc1x1]
+        # reduce_scatter wire: complete the int32 contraction while
+        # scattering over the oc1x1 lanes, requant only the local shard,
+        # gather the narrow result (see docstring / tp_wire_bytes)
+        part = jax.lax.psum_scatter(acc1, axis, scatter_dimension=3,
+                                    tiled=True)
+        res = requant(part, ops_["bias1"][0], ops_["scale1"][0],
+                      cfg.conv1_relu, cfg.conv1_round, cfg.dst_dt)
+        full = jax.lax.all_gather(res, axis, axis=3, tiled=True)
+        return full[..., :cfg.oc1x1]
 
     fn = shard_map(
         local_fn, mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(),) + tuple(P(axis) for _ in keys),
         out_specs=P(), check_vma=False)
 
     def run(src):
-        return fn(jnp.asarray(src), stacked["w3"], stacked["corr0"],
-                  stacked["bias0"], stacked["scale0"], stacked["w1"],
-                  stacked["corr1"])
+        return fn(jnp.asarray(src), *(stacked[k] for k in keys))
 
     return jax.jit(run)
 
@@ -162,7 +211,8 @@ _conv_call_acc1 = conv_fused_acc1
 
 # ------------------------------------------------------------------ SP
 
-def sp_conv(conv_op, mesh: Mesh, axis: str = "sp"):
+def sp_conv(conv_op, mesh: Mesh, axis: str = "sp",
+            dp_axis: Optional[str] = None):
     """Spatially-sharded conv: H split over `axis` with halo exchange via
     ``jax.lax.ppermute`` (the ICI neighbor pattern; SURVEY.md §5
     long-context row), **overlapped with interior compute**.
@@ -183,6 +233,10 @@ def sp_conv(conv_op, mesh: Mesh, axis: str = "sp"):
     sliced off at the end (they read only zero padding, matching conv
     semantics; for SAME padding the slice is a no-op). stride_w may be >1:
     strided ops route through their s2d lowering per slab.
+
+    dp_axis: optionally also shard the batch dim over a second mesh axis
+    (pure data parallelism composed with the halo exchange — the production
+    dp x sp configuration exercised by ``__graft_entry__.dryrun_multichip``).
     """
     cfg = conv_op.cfg
     n_shard = mesh.shape[axis]
@@ -232,10 +286,13 @@ def sp_conv(conv_op, mesh: Mesh, axis: str = "sp"):
         # 4. stitch: ih_l output rows per shard
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
-    spec_in = (P(None, axis, None, None),) + tuple(
-        P(None) for _ in conv_op._operands)
+    if dp_axis is not None:
+        check(cfg.bs % mesh.shape[dp_axis] == 0,
+              f"batch {cfg.bs} not divisible by {dp_axis}")
+    img_spec = P(dp_axis, axis, None, None)
+    spec_in = (img_spec,) + tuple(P(None) for _ in conv_op._operands)
     fn = shard_map(local_fn, mesh=mesh, in_specs=spec_in,
-                   out_specs=P(None, axis, None, None), check_vma=False)
+                   out_specs=img_spec, check_vma=False)
 
     def run(src):
         out = fn(jnp.asarray(src), *conv_op._operands)

@@ -24,16 +24,17 @@ def need_devices(n):
         pytest.skip(f"needs {n} devices")
 
 
-def make_fused_cfg(rng, mb=4, ic=16, hw=12, oc=32, oc1=16, ph=1):
+def make_fused_cfg(rng, mb=4, ic=16, hw=12, oc=32, oc1=16, ph=1, sw=1):
     src = fill_data((mb, hw, hw, ic), "u8", rng)
     wei = fill_data((oc, ic, 3, 3), "s8", rng)
     bia = fill_data((oc,), "s32", rng)
     wei1 = fill_data((oc1, oc, 1, 1), "s8", rng)
     bia1 = fill_data((oc1,), "s32", rng)
     oh = hw + 2 * ph - 2
+    ow = (hw + 2 * ph - 3) // sw + 1
     cfg = ConvConfig.make(
-        (mb, hw, hw, ic), (oc, ic, 3, 3), bia.dtype, (1, 1), (ph, ph),
-        (mb, oh, oh, oc1), "u8", conv0_scales=(0.02,),
+        (mb, hw, hw, ic), (oc, ic, 3, 3), bia.dtype, (1, sw), (ph, ph),
+        (mb, oh, ow, oc1), "u8", conv0_scales=(0.02,),
         wei1x1_shape=(oc1, oc, 1, 1), bia1x1_dt=bia1.dtype,
         conv1_relu=True, conv1_scales=(0.4,))
     return cfg, src, wei, bia, wei1, bia1
@@ -66,6 +67,28 @@ def test_tp_4way(rng):
             "tp4")
 
 
+@pytest.mark.parametrize("n", [2, 4])
+def test_tp_wire_modes_bit_exact(rng, n):
+    # both wires must agree with the oracle exactly: int32 adds commute,
+    # so psum == psum_scatter-then-gather elementwise (VERDICT r2 #8)
+    need_devices(n)
+    cfg, src, wei, bia, wei1, bia1 = make_fused_cfg(rng, oc=16 * n)
+    mesh = make_mesh(tp=n)
+    ref = conv_ref(cfg, src, wei, bia, wei1, bia1)
+    for wire in ("psum", "reduce_scatter"):
+        out = tp_fused_conv(cfg, wei, bia, wei1, bia1, mesh, wire=wire)(src)
+        compare(np.asarray(out), ref, f"tp-{wire}-{n}way")
+
+
+def test_tp_wire_bytes_accounting():
+    from deepfusion_tpu.parallel.shard import tp_wire_bytes
+    cfg, *_ = make_fused_cfg(np.random.default_rng(0))
+    ps = tp_wire_bytes(cfg, 4, "psum")
+    rs = tp_wire_bytes(cfg, 4, "reduce_scatter")
+    # ring model: psum = 2*(N-1)/N*4B, rs+ag = (N-1)/N*(4+1)B -> 1.6x
+    assert ps / rs == pytest.approx(8 / 5)
+
+
 def test_sp_halo_bit_exact(rng):
     need_devices(2)
     # SAME conv so rows shard evenly; halo rows must replace zero-padding
@@ -84,6 +107,130 @@ def test_sp_4way(rng):
     op = ConvOp(cfg, wei, bia, wei1, bia1)
     out = sp_conv(op, mesh)(src)
     compare(np.asarray(out), conv_ref(cfg, src, wei, bia, wei1, bia1), "sp4")
+
+
+def test_sp_valid_pad(rng):
+    # relaxed geometry (VERDICT r2 #6a): ph=0 / VALID — no top halo, the
+    # bottom-slab kb = kh-1 arithmetic and the oh slice do the work
+    need_devices(2)
+    cfg, src, wei, bia, wei1, bia1 = make_fused_cfg(rng, hw=12, ph=0)
+    mesh = make_mesh(sp=2)
+    op = ConvOp(cfg, wei, bia, wei1, bia1)
+    out = sp_conv(op, mesh)(src)
+    compare(np.asarray(out), conv_ref(cfg, src, wei, bia, wei1, bia1),
+            "sp-valid")
+
+
+def test_sp_valid_pad_4way(rng):
+    need_devices(4)
+    cfg, src, wei, bia, wei1, bia1 = make_fused_cfg(rng, hw=16, ph=0)
+    mesh = make_mesh(sp=4)
+    op = ConvOp(cfg, wei, bia, wei1, bia1)
+    out = sp_conv(op, mesh)(src)
+    compare(np.asarray(out), conv_ref(cfg, src, wei, bia, wei1, bia1),
+            "sp-valid4")
+
+
+def test_sp_strided_w(rng):
+    # relaxed geometry (VERDICT r2 #6a): stride_w > 1 routes every slab
+    # through the s2d lowering
+    need_devices(2)
+    cfg, src, wei, bia, wei1, bia1 = make_fused_cfg(rng, hw=12, ph=1, sw=2)
+    assert cfg.sw == 2
+    mesh = make_mesh(sp=2)
+    op = ConvOp(cfg, wei, bia, wei1, bia1)
+    out = sp_conv(op, mesh)(src)
+    compare(np.asarray(out), conv_ref(cfg, src, wei, bia, wei1, bia1),
+            "sp-sw2")
+
+
+def test_sp_with_dp_axis(rng):
+    # the production dp x sp composition used by dryrun_multichip
+    need_devices(4)
+    cfg, src, wei, bia, wei1, bia1 = make_fused_cfg(rng, mb=4, hw=12)
+    mesh = make_mesh(dp=2, sp=2)
+    op = ConvOp(cfg, wei, bia, wei1, bia1)
+    out = sp_conv(op, mesh, dp_axis="dp")(src)
+    compare(np.asarray(out), conv_ref(cfg, src, wei, bia, wei1, bia1),
+            "dp x sp via sp_conv")
+
+
+def test_sp_overlap_structure(rng):
+    """Overlap evidence (VERDICT r2 #6b): the interior conv must not
+    depend on the halo permutes, and the permutes must be issued first.
+
+    Structural check on the traced program: data-flow independence is what
+    ALLOWS an async scheduler to hide the ICI latency under the interior
+    MXU work; program order (permutes first) is what makes it happen. On a
+    TPU backend the compiled HLO additionally splits each permute into
+    collective-permute-start/done straddling the interior fusion; asserted
+    when that backend is available (text check is a no-op on CPU, where
+    collectives lower synchronously).
+    """
+    need_devices(2)
+    cfg, src, wei, bia, wei1, bia1 = make_fused_cfg(rng, hw=12, ph=1)
+    mesh = make_mesh(sp=2)
+    op = ConvOp(cfg, wei, bia, wei1, bia1)
+    fn = sp_conv(op, mesh)
+    jaxpr = jax.make_jaxpr(fn)(src)
+    # walk into the shard_map body
+    def find_shmap(jx):
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "shard_map":
+                return eqn.params["jaxpr"]
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr"):
+                    r = find_shmap(v.jaxpr)
+                    if r is not None:
+                        return r
+        return None
+
+    body = find_shmap(jaxpr.jaxpr)
+    assert body is not None, "no shard_map in sp_conv's jaxpr"
+
+    def contains_pallas(eqn):
+        # the interior conv may be wrapped in a jit/pjit closed call
+        if eqn.primitive.name == "pallas_call":
+            return True
+        for v in eqn.params.values():
+            jx = getattr(v, "jaxpr", v)
+            if hasattr(jx, "eqns") and any(contains_pallas(e)
+                                           for e in jx.eqns):
+                return True
+        return False
+
+    names = [e.primitive.name for e in body.eqns]
+    perm_idx = [i for i, n in enumerate(names) if n == "ppermute"]
+    conv_idx = [i for i, e in enumerate(body.eqns) if contains_pallas(e)]
+    assert perm_idx and conv_idx, (names,)
+    # (a) program order: both permutes issued before the interior conv
+    assert max(perm_idx) < conv_idx[0], \
+        f"halo permutes not issued before interior conv: {names}"
+    # (b) data-flow: the interior conv consumes none of the permute outputs
+    perm_outs = set()
+    for i in perm_idx:
+        perm_outs.update(map(id, body.eqns[i].outvars))
+    interior = body.eqns[conv_idx[0]]
+    # trace the interior conv's operand closure back through the body
+    frontier = set(map(id, interior.invars))
+    for eqn in reversed(body.eqns[:conv_idx[0]]):
+        if any(id(v) in frontier for v in eqn.outvars):
+            assert eqn.primitive.name != "ppermute", \
+                "interior conv depends on a halo permute"
+            frontier.update(map(id, eqn.invars))
+    # (c) TPU backend: async start/done pair straddles the interior kernel
+    hlo = jax.jit(fn).lower(src).compile().as_text()
+    if "collective-permute-start" in hlo:
+        lines = hlo.splitlines()
+        starts = [i for i, l in enumerate(lines)
+                  if "collective-permute-start" in l]
+        dones = [i for i, l in enumerate(lines)
+                 if "collective-permute-done" in l]
+        kerns = [i for i, l in enumerate(lines)
+                 if "custom-call" in l and "tpu_custom_call" in l]
+        assert starts and dones and kerns
+        assert min(starts) < max(kerns) < max(dones), \
+            "no interior kernel scheduled between permute start/done"
 
 
 def test_dp_sp_combined(rng):
