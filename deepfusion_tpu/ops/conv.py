@@ -472,34 +472,16 @@ class ConvOp:
 
     def save(self, path: str):
         """Save the packed operands + config to an .npz archive."""
-        import dataclasses
-        import json
+        from ..utils.persist import dump_configs
         arrs = {k: np.asarray(v) for k, v in
                 zip(self._OPERAND_KEYS, self._operands)}
-        cfg_dict = dataclasses.asdict(self.cfg)
-        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt",
-                    "sum_dt"):
-            v = cfg_dict[key]
-            cfg_dict[key] = None if v is None else dtype(v.value).name \
-                if isinstance(v, dtype) else v.name
-        cfg_dict["conv0_round"] = self.cfg.conv0_round.name
-        cfg_dict["conv1_round"] = self.cfg.conv1_round.name
-        np.savez(path, __cfg__=json.dumps(cfg_dict), **arrs)
+        np.savez(path, __cfg__=dump_configs(cfg=self.cfg), **arrs)
 
     @classmethod
     def load(cls, path: str) -> "ConvOp":
-        import json
+        from ..utils.persist import load_configs
         data = np.load(path, allow_pickle=False)
-        cfg_dict = json.loads(str(data["__cfg__"]))
-        for key in ("src_dt", "wei_dt", "bia_dt", "dst_dt", "bia1x1_dt",
-                    "sum_dt"):
-            v = cfg_dict[key]
-            cfg_dict[key] = None if v is None else dtype[v]
-        cfg_dict["conv0_round"] = round_mode[cfg_dict["conv0_round"]]
-        cfg_dict["conv1_round"] = round_mode[cfg_dict["conv1_round"]]
-        for key in ("conv0_scales", "conv1_scales"):
-            cfg_dict[key] = tuple(cfg_dict[key])
-        cfg = ConvConfig(**cfg_dict)
+        cfg = load_configs(data["__cfg__"], cfg=ConvConfig)["cfg"]
         op = cls.__new__(cls)
         op.cfg = cfg
         op.cfg2 = layout.s2d_cfg(cfg) if (cfg.sh > 1 or cfg.sw > 1) else None

@@ -185,3 +185,24 @@ class ConvPoolOp:
             kw["sum_src"] = jnp.asarray(sum_src)
         return _convpool_call(self.cfg, self.pc, jnp.asarray(src_u8),
                               *self._operands, **kw)
+
+    # --- packed-weight persistence (mirrors ConvOp.save/load) ---
+    _OPERAND_KEYS = ("w3", "corr0", "bias0", "scale0")
+
+    def save(self, path: str):
+        """Save the packed operands + conv/pool configs to .npz."""
+        from ..utils.persist import dump_configs
+        arrs = {k: np.asarray(v) for k, v in
+                zip(self._OPERAND_KEYS, self._operands)}
+        np.savez(path, __cfg__=dump_configs(cfg=self.cfg, pc=self.pc),
+                 **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "ConvPoolOp":
+        from ..utils.persist import load_configs
+        data = np.load(path, allow_pickle=False)
+        cfgs = load_configs(data["__cfg__"], cfg=ConvConfig, pc=PoolConfig)
+        op = cls.__new__(cls)
+        op.cfg, op.pc = cfgs["cfg"], cfgs["pc"]
+        op._operands = [jnp.asarray(data[k]) for k in cls._OPERAND_KEYS]
+        return op

@@ -695,3 +695,37 @@ class PackedConvOp:
               "op expects one array per input spec")
         return _packed_call(self.cfg, self.sins, self.sout,
                             arrs, *self._operands)
+
+    # --- packed-weight persistence (mirrors ConvOp.save/load; the input/
+    # output PackedSpecs are part of the op's contract, so they persist
+    # alongside the config) ---
+    _OPERAND_KEYS = ("w3", "corr0", "bias0", "scale0",
+                     "w1", "corr1", "bias1", "scale1")
+
+    def save(self, path: str):
+        """Save the packed operands + config + specs to .npz."""
+        from ..utils.persist import dump_configs
+        specs = {"cfg": self.cfg, "sout": self.sout}
+        for i, s in enumerate(self.sins):
+            specs[f"sin{i}"] = s
+        arrs = {k: np.asarray(v) for k, v in
+                zip(self._OPERAND_KEYS, self._operands)}
+        np.savez(path, __cfg__=dump_configs(**specs),
+                 __n_sins__=np.int64(len(self.sins)), **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "PackedConvOp":
+        from ..utils.persist import load_configs
+        data = np.load(path, allow_pickle=False)
+        n_sins = int(data["__n_sins__"])
+        classes = {"cfg": ConvConfig, "sout": PackedSpec}
+        classes.update({f"sin{i}": PackedSpec for i in range(n_sins)})
+        cfgs = load_configs(data["__cfg__"], **classes)
+        op = cls.__new__(cls)
+        op.cfg = cfgs["cfg"]
+        op.sins = tuple(cfgs[f"sin{i}"] for i in range(n_sins))
+        op.sin = op.sins[0]
+        op.sout = cfgs["sout"]
+        keys = cls._OPERAND_KEYS[:8 if op.cfg.fuse_conv1x1 else 4]
+        op._operands = [jnp.asarray(data[k]) for k in keys]
+        return op
