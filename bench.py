@@ -303,16 +303,19 @@ def bench_concat(args):
 
 
 def bench_model(args):
-    from deepfusion_tpu.models import FusionNet, FusionNetConfig
     import jax
     import jax.numpy as jnp
 
-    net = FusionNet(FusionNetConfig(batch=args.batch, hw=56, in_ch=32,
-                                    width=128, num_classes=128))
+    if args.model == "resfusion":
+        from deepfusion_tpu.models import ResFusionNet, ResFusionNetConfig
+        net = ResFusionNet(ResFusionNetConfig(batch=args.batch, hw=64,
+                                              in_ch=32, width=128,
+                                              num_classes=128))
+    else:
+        from deepfusion_tpu.models import FusionNet, FusionNetConfig
+        net = FusionNet(FusionNetConfig(batch=args.batch, hw=56, in_ch=32,
+                                        width=128, num_classes=128))
     x0 = jax.device_put(net.example_input())
-    # dense op-by-op is the faster model path at this scale today (the
-    # packed-domain chain wins per-op on convs but loses on the small-
-    # tensor glue); --packed opts into the layout-persistent path
     fwd = net.packed_call if args.packed else net.__call__
 
     def step(x):
@@ -324,10 +327,11 @@ def bench_model(args):
 
     sec = timeit_chain(step, x0, args.iters, reps=8, spread_s=45)
     imgs = args.batch / sec
-    print(f"# fusionnet {sec*1e3:.3f} ms/iter {imgs:.0f} imgs/s",
+    tag = args.model + ("/packed" if args.packed else "/dense")
+    print(f"# {tag} {sec*1e3:.3f} ms/iter {imgs:.0f} imgs/s",
           file=sys.stderr)
-    return {"metric": "fusionnet_imgs_per_sec", "value": round(imgs, 1),
-            "unit": "imgs/s", "vs_baseline": 1.0}
+    return {"metric": f"{args.model}_imgs_per_sec", "value": round(imgs, 1),
+            "unit": "imgs/s", "vs_baseline": 1.0, "path": tag}
 
 
 def _parse_mesh(spec: str):
@@ -439,6 +443,9 @@ def main():
     p.add_argument("--packed", action="store_true",
                    help="model: time the layout-persistent packed path "
                         "instead of the dense op-by-op path")
+    p.add_argument("--model", default="fusionnet",
+                   choices=["fusionnet", "resfusion"],
+                   help="model: which model family to time")
     p.add_argument("--mesh", default="dp=1",
                    help="scaling: mesh axes, e.g. dp=4 or dp=2,sp=2")
     p.add_argument("--hosts", type=int, default=1,

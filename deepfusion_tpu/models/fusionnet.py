@@ -37,11 +37,11 @@ class _ConvParams:
     def dense(self) -> ConvOp:
         return ConvOp(self.cfg, self.wei, self.bia, self.wei1, self.bia1)
 
-    def packed(self, sin, col_off_out, halo_out):
+    def packed(self, sin, col_off_out, halo_out, sum_spec=None):
         from ..ops.packed import PackedConvOp
         return PackedConvOp(self.cfg, self.wei, self.bia, self.wei1,
                             self.bia1, sin=sin, col_off_out=col_off_out,
-                            halo_out=halo_out)
+                            halo_out=halo_out, sum_spec=sum_spec)
 
 
 def _mkconv(rng, n, ih, iw, ic, oc, k, pad, stride, dst_dt, *,

@@ -77,6 +77,7 @@ class ResFusionNet:
         self.params = dict(stem=p_stem, block1=p_blk, down=p_dn,
                            block2=p_blk2, head=p_head)
         self._in_shape = (n, hw, hw, c)
+        self._packed = None
 
     @property
     def input_shape(self):
@@ -98,3 +99,60 @@ class ResFusionNet:
 
     def jit(self):
         return jax.jit(self.__call__)
+
+    # ------------------------------------------ packed-domain forward path
+
+    def build_packed(self):
+        """Layout-persistent pipeline: the strided stem runs the packed
+        kernel on the s2d grid (its output is already packed for block1),
+        the residual joins as a packed sum post-op inside block1's requant
+        epilogue, the downsample is a packed conv + packed 2x2 maxpool, and
+        the head reduces straight off the packed array — the only dense
+        relayout in the model is the boundary pack of the input image.
+
+        Halo budget: iwp=48 (the maxpool needs iwp % 16 == 0); the erosion
+        chain stem(4) -> block1(3) -> down(2, even for the pool) -> pool(1)
+        -> block2(0) keeps every boundary window in-bounds, so no kernel
+        compiles a boundary roll. block1's sum operand is the stem output
+        at halo 4 while block1 emits halo 3 — the kernel re-bases rows by
+        the static halo difference instead of forcing a repack."""
+        if self._packed is not None:
+            return self._packed
+        from ..ops import layout
+        from ..ops.packed import PackedSpec
+        p = self.params
+        cfg2 = layout.s2d_cfg(p["stem"].cfg)
+        sin0 = PackedSpec(h=cfg2.ih, w=cfg2.iw, c=cfg2.ic, cp=cfg2.icp,
+                          halo=4, col_off=2, iwp=48)
+        stem = p["stem"].packed(sin0, 2, 4)
+        block1 = p["block1"].packed(stem.sout, 2, 3, sum_spec=stem.sout)
+        down = p["down"].packed(block1.sout, 2, 2)
+        block2 = p["block2"].packed(
+            PackedSpec(h=down.sout.h // 2, w=down.sout.w // 2,
+                       c=down.sout.c, cp=down.sout.cp, halo=1, col_off=1,
+                       iwp=down.sout.iwp // 2), 1, 0)
+        self._packed = dict(stem=stem, block1=block1, down=down,
+                            block2=block2)
+        return self._packed
+
+    def packed_call(self, x_u8):
+        """Forward pass bit-identical to ``__call__`` (the packed sum
+        post-op joins in the same exact integer domain as the dense one;
+        max pooling commutes with the -128 centering)."""
+        import jax.numpy as jnp
+
+        from ..ops.packed import packed_global_avgpool, packed_maxpool2
+        P = self.build_packed()
+        x = P["stem"].pack_input(x_u8, xp=jnp)
+        x = P["stem"](x)                          # packed s2d conv
+        y = P["block1"](x, sum_arr=x)             # residual sum post-op
+        y = P["down"](y)
+        y, _ = packed_maxpool2(y, P["down"].sout)
+        y = P["block2"](y)
+        y = packed_global_avgpool(y, P["block2"].sout)
+        logits = self.head(y)
+        return logits.reshape(logits.shape[0], -1)
+
+    def jit_packed(self):
+        self.build_packed()
+        return jax.jit(self.packed_call)

@@ -188,6 +188,27 @@ def prep_src_s2d(cfg: ConvConfig, cfg2: ConvConfig, src_u8, xp=np):
     return (x.astype(xp.int16) - 128).astype(xp.int8)
 
 
+def s2d_image_u8(cfg: ConvConfig, src_u8, xp=np):
+    """NHWC u8 -> the s2d-grid NHWC u8 image of the strided conv `cfg`
+    (conv padding baked in as u8 zeros; no lane/width padding, no -128
+    shift) — the packed path's boundary-side twin of ``prep_src_s2d``.
+    ``pack_image(s2d_image_u8(src, cfg), spec)`` yields the packed s2d
+    input for a strided ``PackedConvOp``."""
+    cfg2 = s2d_cfg(cfg)
+    src = xp.asarray(src_u8)
+    n, ih, iw, ic = src.shape
+    sh, sw = cfg.sh, cfg.sw
+    hp, wp = cfg2.ih * sh, cfg2.iw * sw
+    take_h = min(ih, hp - cfg.ph)
+    take_w = min(iw, wp - cfg.pw)
+    x = src[:, :take_h, :take_w, :]
+    x = xp.pad(x, ((0, 0), (cfg.ph, hp - cfg.ph - take_h),
+                   (cfg.pw, wp - cfg.pw - take_w), (0, 0)))
+    x = x.reshape(n, cfg2.ih, sh, cfg2.iw, sw, ic)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, cfg2.ih, cfg2.iw,
+                                                 sh * sw * ic)
+
+
 def pack_all(cfg: ConvConfig, wei, bias=None, wei1x1=None, bias1x1=None
              ) -> dict:
     """One-stop host-side pack for a ConvConfig. Returns the kernel operand

@@ -130,13 +130,20 @@ def _boundary_offs(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec):
     return off, off
 
 
-def validate_packed_conv(cfg: ConvConfig, sins, sout: PackedSpec):
+def validate_packed_conv(cfg: ConvConfig, sins, sout: PackedSpec,
+                         ssum: PackedSpec = None):
     """Legality of running cfg from sins to sout (init_conf-style checks).
 
     sins is a tuple of input specs: a single entry for a plain conv, or
     several whose lane-concatenation forms the conv input (concat-free
     branch merge — the kernel reads each source separately and joins them
-    in VMEM, so the channel concat never exists in HBM)."""
+    in VMEM, so the channel concat never exists in HBM).
+
+    ssum (required iff cfg.with_sum): spec of the packed eltwise-sum
+    operand. It must be the same logical image as the output with the same
+    column geometry; its halo may be LARGER than the output's (halo
+    erosion leaves producers with deeper halos than consumers emit — the
+    kernel re-bases rows by the static difference)."""
     sins = sins if isinstance(sins, (tuple, list)) else (sins,)
     sin = sins[0]
     for s in sins[1:]:
@@ -146,9 +153,25 @@ def validate_packed_conv(cfg: ConvConfig, sins, sout: PackedSpec):
     for s in sins[:-1]:
         check(s.cp == s.c, "non-final input has pad lanes (cp > c) which "
                            "would split the conv input's image lanes")
-    check(cfg.sh == 1 and cfg.sw == 1, "packed path requires stride 1")
+    check(cfg.sh == 1 and cfg.sw == 1,
+          "packed path requires stride 1 (strided configs are s2d-lowered "
+          "by PackedConvOp before reaching here)")
     check(cfg.dst_dt == dtype.u8, "packed path requires a u8 destination")
-    check(not cfg.with_sum, "packed path does not take a sum post-op yet")
+    check(cfg.with_sum == (ssum is not None),
+          "pass ssum exactly when cfg has a sum post-op")
+    if ssum is not None:
+        check(cfg.sum_dt == dtype.u8,
+              "packed sum post-op requires a u8 sum operand")
+        ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
+        out_c = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
+        check((ssum.h, ssum.w, ssum.c) == (cfg.oh, cfg.ow, out_c),
+              "sum operand spec does not match the output image")
+        check((ssum.col_off, ssum.iwp) == (sout.col_off, sout.iwp),
+              "sum operand must share the output's column geometry")
+        check(ssum.cp == ocp_out,
+              "sum operand lane padding must match the output's")
+        check(ssum.halo >= sout.halo,
+              "sum operand halo must cover the output halo")
     check((sin.h, sin.w) == (cfg.ih, cfg.iw),
           "input spec does not match conv geometry")
     check(sum(s.c for s in sins) == cfg.ic,
@@ -184,10 +207,40 @@ def validate_packed_conv(cfg: ConvConfig, sins, sout: PackedSpec):
               "(raise input halo or lower row_tile)")
 
 
-def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
+def _shifted_patch(patch, d, interp):
+    """patch[p + d] along the flat-position dim, exact for |d| < 4.
+
+    The int8 patch has no native roll; its bitcast-i32 view packs 4
+    consecutive flat positions per word (little-endian within the group),
+    so a +-d byte shift is two logical shifts + an OR with the
+    neighbouring word (one 4-granular pltpu.roll). Wrapped rows land on
+    outputs the caller discards/masks — the same wrap contract as the
+    output-side roll formulation, so the two are bit-identical."""
+    if d == 0:
+        return patch
+    if interp:
+        return jnp.roll(patch, -d, 0)
+    p32 = pltpu.bitcast(patch, jnp.int32)
+    mq = p32.shape[0]
+    shr = jax.lax.shift_right_logical
+    shl = jax.lax.shift_left
+    if d > 0:
+        nxt = pltpu.roll(p32, mq - 1, 0)             # p32[g + 1]
+        out = shr(p32, 8 * d) | shl(nxt, 32 - 8 * d)
+    else:
+        prv = pltpu.roll(p32, 1, 0)                  # p32[g - 1]
+        out = shl(p32, -8 * d) | shr(prv, 32 + 8 * d)
+    return pltpu.bitcast(out, jnp.int8)
+
+
+def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
+                   ssum: PackedSpec = None):
     n_src = len(sins)
     sin = sins[0]
     src_refs, refs = refs[:n_src], refs[n_src:]
+    sum_ref = None
+    if ssum is not None:
+        sum_ref, *refs = refs
     if cfg.fuse_conv1x1:
         (w3_ref, corr0_ref, bias0_ref, scale0_ref,
          w1_ref, corr1_ref, bias1_ref, scale1_ref, out_ref) = refs
@@ -247,18 +300,33 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
                     t == nt - 1,
                     pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
             patch = pltpu.bitcast(p32, jnp.int8)
+    # out flat col c holds image col (c - col_off_out); tap kj reads the
+    # input at flat position p + d with d = col_off_in - col_off_out + kj
+    # - pw. Two exact formulations (identical incl. wrap rows, which land
+    # only on discarded/masked outputs):
+    #   * |d| < 4 for every tap (the common case): INPUT-side byte shifts
+    #     of the int8 patch on its bitcast-i32 view, lane-concatenated
+    #     into ONE K = kw*kh*icp dot — no s32 accumulator rolls and no
+    #     VPU adds between taps (roll_probe.py bshift1: bit-exact, fastest
+    #     variant measured).
+    #   * otherwise: per-tap dots with OUTPUT-side pltpu.roll of the s32
+    #     partials (the roll conv identity y[p] = sum_kj z_kj[p + d_kj]).
     ksub = cfg.kh * cfg.icp
-    acc = None
-    for kj in range(cfg.kw):
-        part = jnp.dot(patch, w3_ref[kj * ksub:(kj + 1) * ksub, :],
-                       preferred_element_type=jnp.int32)
-        # out flat col c holds image col (c - col_off_out); it reads the
-        # kj tap of input flat col c + d:
-        d = sin.col_off - sout.col_off + kj - cfg.pw
-        if d % m:
-            part = (jnp.roll(part, -d, 0) if interp
-                    else pltpu.roll(part, (m - d) % m, 0))
-        acc = part if acc is None else acc + part
+    ds_taps = [sin.col_off - sout.col_off + kj - cfg.pw
+               for kj in range(cfg.kw)]
+    if all(abs(d) < 4 for d in ds_taps):
+        taps = [_shifted_patch(patch, d, interp) for d in ds_taps]
+        wide = taps[0] if cfg.kw == 1 else jnp.concatenate(taps, axis=-1)
+        acc = jnp.dot(wide, w3_ref[...], preferred_element_type=jnp.int32)
+    else:
+        acc = None
+        for kj, d in enumerate(ds_taps):
+            part = jnp.dot(patch, w3_ref[kj * ksub:(kj + 1) * ksub, :],
+                           preferred_element_type=jnp.int32)
+            if d % m:
+                part = (jnp.roll(part, -d, 0) if interp
+                        else pltpu.roll(part, (m - d) % m, 0))
+            acc = part if acc is None else acc + part
     acc = acc + corr0_ref[...]
 
     # Non-image slots must come out as exactly -128 (u8 zero) so the
@@ -276,6 +344,22 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
         jnp.logical_and(row >= sout.halo, row < sout.halo + cfg.oh))
         ).astype(jnp.float32)
 
+    sum_rounded = None
+    if sum_ref is not None:
+        # the packed sum operand is a valid packed image of the OUTPUT's
+        # geometry; its halo may be deeper (halo erosion), so re-base rows
+        # by the static difference. u8 value = stored + 128; pre-round the
+        # scaled term for the exact integer-domain join (requant()'s sum
+        # order). Non-image slots hold -128 -> u8 0 -> round(0) == 0, so
+        # the operand masks itself.
+        from .requant import round_f32
+        ds = ssum.halo - sout.halo
+        sbase = pl.multiple_of((t * T + ds) * iwp, 8)
+        sv = sum_ref[0, pl.ds(sbase, m), :].astype(jnp.int32) + 128
+        fin_round = cfg.conv1_round if cfg.fuse_conv1x1 else cfg.conv0_round
+        sum_rounded = round_f32(
+            sv.astype(jnp.float32) * np.float32(cfg.sum_scale), fin_round)
+
     def epilogue(acc_t):
         if cfg.fuse_conv1x1:
             x1 = requant_to_u8_centered(
@@ -285,18 +369,21 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec):
             acc1 = acc1 + corr1_ref[...]
             out_ref[0] = requant_to_u8_centered(
                 acc1, bias1_ref[...] if cfg.conv1_with_bias else None,
-                scale1_ref[...], cfg.conv1_round, zero_mask=maskf)
+                scale1_ref[...], cfg.conv1_round, zero_mask=maskf,
+                sum_rounded=sum_rounded)
         else:
             out_ref[0] = requant_to_u8_centered(
                 acc_t, bias0_ref[...] if cfg.conv0_with_bias else None,
-                scale0_ref[...], cfg.conv0_round, zero_mask=maskf)
+                scale0_ref[...], cfg.conv0_round, zero_mask=maskf,
+                sum_rounded=sum_rounded)
 
     epilogue(acc)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "sins", "sout"))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "sins", "sout", "ssum"))
 def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
-                 arrs, *operands):
+                 arrs, *operands, ssum: PackedSpec = None, sum_arr=None):
     sin = sins[0]
     n = arrs[0].shape[0]
     T = cfg.row_tile
@@ -316,8 +403,18 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
         return pl.BlockSpec((1, nlanes), lambda b, t: (0, 0),
                             memory_space=pltpu.VMEM)
 
-    in_specs = src_specs + [w3_spec, vec(cfg.ocp), vec(cfg.ocp),
-                            vec(cfg.ocp)]
+    in_specs = src_specs
+    args = list(arrs)
+    if ssum is not None:
+        # whole-array block (like src): the kernel row-slices it with the
+        # static halo re-base, so differing producer/consumer halos need
+        # no repack
+        in_specs = in_specs + [
+            pl.BlockSpec((1, ssum.rows * iwp, ssum.cp),
+                         lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM)]
+        args.append(sum_arr)
+    in_specs = in_specs + [w3_spec, vec(cfg.ocp), vec(cfg.ocp),
+                           vec(cfg.ocp)]
     if cfg.fuse_conv1x1:
         in_specs += [pl.BlockSpec((cfg.ocp, cfg.oc1x1p), lambda b, t: (0, 0),
                                   memory_space=pltpu.VMEM),
@@ -333,7 +430,8 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
 
     operands = [op.reshape(1, -1) if op.ndim == 1 else op for op in operands]
     return pl.pallas_call(
-        functools.partial(_packed_kernel, cfg=cfg, sins=sins, sout=sout),
+        functools.partial(_packed_kernel, cfg=cfg, sins=sins, sout=sout,
+                          ssum=ssum),
         out_shape=jax.ShapeDtypeStruct(sout.array_shape(n), jnp.int8),
         grid=grid,
         in_specs=in_specs,
@@ -344,7 +442,7 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
             bytes_accessed=nbytes * grid[0] * grid[1],
             transcendentals=0),
         interpret=env.interpret_kernels(),
-    )(*arrs, *operands)
+    )(*args, *operands)
 
 
 def _narrow_cfg(cfg: ConvConfig) -> ConvConfig:
@@ -635,8 +733,18 @@ class PackedConvOp:
 
     def __init__(self, cfg: ConvConfig, wei, bia=None, wei1x1=None,
                  bia1x1=None, sin: PackedSpec = None,
-                 col_off_out: int = None, halo_out: int = None):
+                 col_off_out: int = None, halo_out: int = None,
+                 sum_spec: PackedSpec = None):
         from . import layout
+        # strided configs run the stride-1 packed kernel on the s2d grid
+        # (the same lowering ConvOp uses, ops/layout.py); the op's sin then
+        # describes the packed s2d image and pack_input() applies the
+        # regroup at the model boundary
+        self.cfg_orig = None
+        if cfg.sh > 1 or cfg.sw > 1:
+            self.cfg_orig = cfg
+            wei = layout.s2d_weights(cfg, np.asarray(wei))
+            cfg = layout.s2d_cfg(cfg)
         cfg = _narrow_cfg(cfg)
         packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
         # pad lanes must produce exactly -128: zero their scales so the
@@ -664,37 +772,57 @@ class PackedConvOp:
         sout = PackedSpec(h=cfg.oh, w=cfg.ow, c=out_c, cp=ocp_out,
                           halo=halo_out, col_off=col_off_out,
                           iwp=sin.iwp)
-        # row_tile must divide the padded output rows; re-pick for the
-        # packed geometry (largest tile with MXU-friendly M <= 2048,
-        # leaving >= 2 tiles when boundary rolls are in play)
+        # row_tile must divide the padded output rows; pick the LARGEST
+        # legal tile — fewer tiles amortize per-tile window re-reads and
+        # pipeline overhead (tile_probe.py: T=64 beats T=16 by ~1pp on the
+        # flagship). Caps: M <= 8192 and the lane-concatenated wide patch
+        # (the dominant in-kernel buffer of the single-dot tap
+        # formulation) <= 24 MB, leaving >= 2 tiles when boundary rolls
+        # are in play.
         off_top, off_bot = _boundary_offs(cfg, sin, sout)
         need_two = bool(off_top or off_bot)
-        tmax = max(2048 // sin.iwp, 1)
-        rt = cfg.row_tile
-        if (sout.rows % rt or rt * sin.iwp > 2048
-                or (need_two and sout.rows // rt < 2)
-                or rt < max(off_top, off_bot)):
-            cands = [d for d in range(1, sout.rows + 1)
-                     if sout.rows % d == 0 and d <= tmax
-                     and d >= max(off_top, off_bot)
-                     and (not need_two or sout.rows // d >= 2)]
-            check(bool(cands), "no legal row_tile for packed geometry")
-            rt = cands[-1]
+        k_dim = cfg.kh * cfg.kw * cfg.icp
+        tmax = max(min(8192, 24 * 2 ** 20 // k_dim) // sin.iwp, 1)
+        cands = [d for d in range(1, sout.rows + 1)
+                 if sout.rows % d == 0 and d <= tmax
+                 and d >= max(off_top, off_bot)
+                 and (not need_two or sout.rows // d >= 2)]
+        check(bool(cands), "no legal row_tile for packed geometry")
+        rt = cands[-1]
         cfg = dataclasses.replace(cfg, row_tile=rt)
         self.cfg = cfg
-        validate_packed_conv(cfg, sins, sout)
+        validate_packed_conv(cfg, sins, sout, ssum=sum_spec)
         self.sins = sins
         self.sin = sins[0]
         self.sout = sout
+        self.ssum = sum_spec
 
-    def __call__(self, packed_arr):
+    def pack_input(self, src_u8, xp=np):
+        """Model-boundary pack: dense NHWC u8 -> this op's packed input
+        (applies the s2d regroup first for strided configs)."""
+        from . import layout
+        check(len(self.sins) == 1,
+              "pack_input only supports single-input ops")
+        if self.cfg_orig is not None:
+            src_u8 = layout.s2d_image_u8(self.cfg_orig, src_u8, xp=xp)
+        return pack_image(src_u8, self.sin, xp=xp)
+
+    def __call__(self, packed_arr, sum_arr=None):
         arrs = (tuple(jnp.asarray(a) for a in packed_arr)
                 if isinstance(packed_arr, (tuple, list))
                 else (jnp.asarray(packed_arr),))
         check(len(arrs) == len(self.sins),
               "op expects one array per input spec")
+        check((sum_arr is not None) == (self.ssum is not None),
+              "pass sum_arr exactly when the op has a sum post-op")
+        kw = {}
+        if sum_arr is not None:
+            sum_arr = jnp.asarray(sum_arr)
+            check(sum_arr.shape == self.ssum.array_shape(arrs[0].shape[0]),
+                  "sum_arr does not match the sum spec")
+            kw = dict(ssum=self.ssum, sum_arr=sum_arr)
         return _packed_call(self.cfg, self.sins, self.sout,
-                            arrs, *self._operands)
+                            arrs, *self._operands, **kw)
 
     # --- packed-weight persistence (mirrors ConvOp.save/load; the input/
     # output PackedSpecs are part of the op's contract, so they persist
@@ -708,6 +836,10 @@ class PackedConvOp:
         specs = {"cfg": self.cfg, "sout": self.sout}
         for i, s in enumerate(self.sins):
             specs[f"sin{i}"] = s
+        if self.cfg_orig is not None:
+            specs["cfg_orig"] = self.cfg_orig
+        if self.ssum is not None:
+            specs["ssum"] = self.ssum
         arrs = {k: np.asarray(v) for k, v in
                 zip(self._OPERAND_KEYS, self._operands)}
         np.savez(path, __cfg__=dump_configs(**specs),
@@ -715,14 +847,22 @@ class PackedConvOp:
 
     @classmethod
     def load(cls, path: str) -> "PackedConvOp":
+        import json
         from ..utils.persist import load_configs
         data = np.load(path, allow_pickle=False)
         n_sins = int(data["__n_sins__"])
+        present = set(json.loads(str(data["__cfg__"])))
         classes = {"cfg": ConvConfig, "sout": PackedSpec}
         classes.update({f"sin{i}": PackedSpec for i in range(n_sins)})
+        if "cfg_orig" in present:
+            classes["cfg_orig"] = ConvConfig
+        if "ssum" in present:
+            classes["ssum"] = PackedSpec
         cfgs = load_configs(data["__cfg__"], **classes)
         op = cls.__new__(cls)
         op.cfg = cfgs["cfg"]
+        op.cfg_orig = cfgs.get("cfg_orig")
+        op.ssum = cfgs.get("ssum")
         op.sins = tuple(cfgs[f"sin{i}"] for i in range(n_sins))
         op.sin = op.sins[0]
         op.sout = cfgs["sout"]

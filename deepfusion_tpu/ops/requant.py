@@ -28,20 +28,26 @@ _MAGIC = 8388608.0  # 2^23: f32 spacing is exactly 1.0 in [2^23, 2^24)
 def _byte_pack(x_f32, dst: dtype):
     """Exact f32 -> byte for x already clamped to dst's range.
 
-    Adding 2^23 (plus 128 for s8, mapping [-128,127] onto [0,255]) leaves
-    an f32 whose bit pattern is 0x4B000000 + v, v in [0,255]; if x carries
-    a fraction the add itself rounds it to-nearest-even (the hardware's
-    f32 rounding), so this one add replaces the whole round -> saturating-
-    convert chain. For s8, v ^ 0x80 == (v - 128) mod 256 is the two's-
-    complement pattern of the signed byte; the i32->i8 convert keeps the
-    low byte. Dramatically cheaper on the VPU than lax.round + converts
-    (measured +13.7pp of roofline on the fused kernel) and bit-exact by
-    the full-range differential suite."""
-    bits = jax.lax.bitcast_convert_type(
-        x_f32 + jnp.float32(_MAGIC + (128.0 if dst == dtype.s8 else 0.0)),
-        jnp.int32)
+    Adding 2^23 (plus a byte-domain offset, below) leaves an f32 whose bit
+    pattern is 0x4B0000.. + v; if x carries a fraction the add itself
+    rounds it to-nearest-even (the hardware's f32 rounding), so this one
+    add replaces the whole round -> saturating-convert chain. Dramatically
+    cheaper on the VPU than lax.round + converts (measured +13.7pp of
+    roofline on the fused kernel) and bit-exact by the full-range
+    differential suite.
+
+    For s8 the -128..127 value v needs bit pattern (v mod 256): add
+    2^23 + 256 so the low byte of the f32 pattern is (v + 256) mod 256 ==
+    v mod 256 directly — the carry into byte 1 is discarded by the
+    truncating i32->i8 convert, so no XOR pass is needed (the integer
+    offset is exact in [2^23, 2^24) and does not change the fraction
+    rounding)."""
     if dst == dtype.s8:
-        return (bits ^ 128).astype(jnp.int8)
+        bits = jax.lax.bitcast_convert_type(
+            x_f32 + jnp.float32(_MAGIC + 256.0), jnp.int32)
+        return bits.astype(jnp.int8)
+    bits = jax.lax.bitcast_convert_type(x_f32 + jnp.float32(_MAGIC),
+                                        jnp.int32)
     return bits.astype(jnp.uint8)
 
 
@@ -111,7 +117,7 @@ def requant(acc_s32, bias_f32, scale_f32, with_relu: bool,
 
 
 def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
-                           zero_mask=None):
+                           zero_mask=None, sum_rounded=None):
     """Fused-path epilogue: requantize to u8 then shift to s8 (x - 128) for
     the next int8 matmul. ReLU is always applied (``:275-277`` — the fused
     intermediate is always u8). Returns int8 values in [-128, 127].
@@ -121,6 +127,13 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
     folded into the f32 chain is dramatically cheaper on the VPU than an
     int8 select at store time. The lower saturation bound is free: ReLU
     already guarantees x >= 0 and rounding preserves it.
+
+    sum_rounded (optional, f32 holding integral values): pre-rounded
+    eltwise-sum operand, joined in the exact integer domain after this
+    stage's own round — the same order as ``requant``'s sum path, so the
+    packed-domain sum post-op is bit-identical to the dense one. The main
+    term must be rounded *before* the join, so the magic-add shortcut
+    (which rounds and extracts in one step) does not apply here.
     """
     x = acc_s32.astype(jnp.float32)
     if bias_f32 is not None:
@@ -128,25 +141,40 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
     x = x * scale_f32
     if zero_mask is not None:
         x = x * zero_mask
+    if sum_rounded is not None:
+        # round both addends, join exactly, then relu/saturate (matches
+        # requant()'s integer-domain join; relu commutes with the
+        # monotone round and round(0) == 0)
+        x = round_f32(x, mode) + sum_rounded
+        x = jnp.maximum(x, 0.0)
+        x = jnp.minimum(x, 255.0)
+        # magic add with the -128 shift folded into the constant: low
+        # byte of the pattern is (v + 128) mod 256 == v ^ 128, the
+        # centered-s8 encoding, and the truncating convert keeps it
+        # (see _byte_pack)
+        bits = jax.lax.bitcast_convert_type(
+            x + jnp.float32(_MAGIC + 128.0), jnp.int32)
+        return bits.astype(jnp.int8)
     x = jnp.maximum(x, 0.0)
     if mode == round_mode.nearest:
         # Magic-number RNE + byte extract, saving VPU passes over the
         # round/sub/min/convert chain. Exactness argument:
         #   * min(round(x), 255) == round(min(x, 255)) — round is monotone
         #     and fixes 255, so the clamp commutes to before the round;
-        #   * for v in [0, 255], the f32 sum 2^23 + x rounds the fraction
-        #     with the hardware's RNE (the rounding we need) and its bit
-        #     pattern is 0x4B000000 + v, so the low byte IS v;
-        #   * v ^ 0x80 == (v - 128) mod 256 — the two's-complement bit
-        #     pattern of the -128 shift — and the i32->i8 convert keeps
-        #     the low byte.
+        #   * for v in [0, 255], the f32 sum (2^23 + 128) + x rounds the
+        #     fraction with the hardware's RNE (the rounding we need; the
+        #     integer 128 offset is exact in [2^23, 2^24) and does not
+        #     touch the fraction) and its bit pattern's low byte is
+        #     (v + 128) mod 256 == v ^ 128 — the centered-s8 encoding —
+        #     which the truncating i32->i8 convert keeps, so the -128
+        #     shift costs no XOR pass.
         # Verified bit-exact vs the reference chain over every acc value
         # by the full-range differential tests (tests/test_packed.py,
         # tests/test_fused.py).
         x = jnp.minimum(x, 255.0)
         bits = jax.lax.bitcast_convert_type(
-            x + jnp.float32(8388608.0), jnp.int32)
-        return (bits ^ 128).astype(jnp.int8)
+            x + jnp.float32(_MAGIC + 128.0), jnp.int32)
+        return bits.astype(jnp.int8)
     # round-down mode: floor, then the folded saturate+shift (x integral
     # and >= 0, so -128 is exact in f32 and one min replaces the clamp
     # pair; the i32->i8 cast needs no saturation)

@@ -91,6 +91,35 @@ def main():
                   fcfg.dst_dt)[..., :fcfg.oc1x1]
     expect(res, conv_ref(fcfg, src, wei, bia, wei1, bia1), "tp emit_acc1")
 
+    # 3b. packed-domain sum post-op + strided (s2d) packed conv
+    import dataclasses
+
+    from deepfusion_tpu.ops.packed import (PackedConvOp, PackedSpec,
+                                           pack_image, unpack_image)
+    from deepfusion_tpu.types import dtype as dt_enum
+    scfg = dataclasses.replace(fcfg, with_sum=True, sum_dt=dt_enum.u8,
+                               sum_scale=0.7)
+    sum_u8 = rng.integers(0, 256, (n, oh, oh, oc1), dtype=np.uint8)
+    dense_sum = ConvOp(scfg, wei, bia, wei1, bia1)(src, sum_src=sum_u8)
+    sin = PackedSpec.make(ih, ih, ic, halo=3, col_off=1)
+    pop = PackedConvOp(scfg, wei, bia, wei1, bia1, sin=sin,
+                       col_off_out=1, halo_out=2,
+                       sum_spec=PackedSpec.make(oh, oh, oc1, halo=3,
+                                                col_off=1, iwp=sin.iwp))
+    got = unpack_image(np.asarray(pop(pack_image(src, pop.sin),
+                                      sum_arr=pack_image(sum_u8, pop.ssum))),
+                       pop.sout)
+    expect(got, np.asarray(dense_sum), "packed sum post-op")
+
+    st_oh = conv_output_size(ih, 3, 2, 1)
+    stcfg = ConvConfig.make((n, ih, ih, ic), (oc, ic, 3, 3), bia.dtype,
+                            (2, 2), (1, 1), (n, st_oh, st_oh, oc), "u8",
+                            conv0_relu=True, conv0_scales=(0.05,))
+    spop = PackedConvOp(stcfg, wei, bia)
+    got = unpack_image(np.asarray(spop(spop.pack_input(src))), spop.sout)
+    expect(got, np.asarray(ConvOp(stcfg, wei, bia)(src)),
+           "packed s2d strided conv")
+
     # 4. concat + pool + eltwise (bandwidth ops)
     from deepfusion_tpu.ops.concat import concat
     from deepfusion_tpu.ops.pool import eltwise_sum_relu, pool

@@ -88,3 +88,16 @@ def test_resfusion_matches_oracle(res_net):
     got = np.asarray(res_net(x))
     np.testing.assert_array_equal(
         got, np.asarray(logits).reshape(logits.shape[0], -1))
+
+
+def test_resfusion_packed_path_bit_identical():
+    """ResFusionNet's layout-persistent forward — strided s2d stem, packed
+    sum post-op residual, packed downsample+pool — must produce bitwise
+    the dense path's logits (VERDICT r2 #5)."""
+    from deepfusion_tpu.models import ResFusionNet, ResFusionNetConfig
+    net = ResFusionNet(ResFusionNetConfig(batch=2, hw=32, in_ch=16,
+                                          width=64, num_classes=32))
+    x = net.example_input()
+    dense = np.asarray(net(x))
+    packed = np.asarray(net.jit_packed()(x))
+    np.testing.assert_array_equal(dense, packed)

@@ -125,11 +125,10 @@ def test_packed_validation_fail_fast(rng):
     bad = PackedSpec.make(13, 13, 32, halo=0, col_off=1)  # halo < ph
     with pytest.raises(CheckError):
         PackedConvOp(cfg, wei, bia, sin=bad)
-    # stride-2 rejected
+    # stride-2 is s2d-lowered, not rejected (VERDICT r2 #5)
     cfg2 = ConvConfig.make((1, 13, 13, 32), (32, 32, 3, 3), None, (2, 2),
                            (1, 1), (1, 7, 7, 32), "u8")
-    with pytest.raises(CheckError):
-        PackedConvOp(cfg2, wei)
+    assert PackedConvOp(cfg2, wei).cfg_orig is not None
     # s8 dst rejected
     cfg3 = ConvConfig.make((1, 13, 13, 32), (32, 32, 3, 3), None, (1, 1),
                            (1, 1), (1, 13, 13, 32), "s8")
@@ -274,3 +273,108 @@ def test_packed_global_avgpool(rng):
     expect = np.asarray(pool(x, "avg_exc", (9, 13), (9, 13), (0, 0)))
     compare(out, expect, "packed global avg pool")
     assert out.shape == (3, 1, 1, 40) and out.dtype == np.uint8
+
+
+# ----- sum post-op in the packed domain (VERDICT r2 #5) -----
+
+def _sum_cfg(mb, hw, ic, oc, oc1, rng):
+    cfg, src, wei, bia0, wei1, bia1 = build_cfg(
+        mb, ic, hw, oc, 1, oc1=oc1, rng=rng)
+    import dataclasses
+    from deepfusion_tpu.types import dtype
+    cfg = dataclasses.replace(cfg, with_sum=True, sum_dt=dtype.u8,
+                              sum_scale=0.7)
+    return cfg, src, wei, bia0, wei1, bia1
+
+
+@pytest.mark.parametrize("fused", [False, True])
+def test_packed_sum_postop(fused, rng):
+    """Packed conv with an eltwise-sum post-op == dense ConvOp with_sum
+    (exact integer-domain join), including a DEEPER sum-operand halo than
+    the output's (halo erosion re-base)."""
+    from deepfusion_tpu.ops.conv import ConvOp
+    mb, hw, ic, oc = 2, 12, 32, 32
+    oc1 = 32 if fused else None
+    cfg, src, wei, bia0, wei1, bia1 = _sum_cfg(mb, hw, ic, oc, oc1, rng)
+    # full-range sum operand exercises the round/saturate join
+    sum_u8 = rng.integers(0, 256, (mb, hw, hw, oc1 or oc), np.uint8)
+
+    dense = ConvOp(cfg, wei, bia0, wei1, bia1)
+    expect = np.asarray(dense(src, sum_src=sum_u8))
+
+    sin = PackedSpec.make(hw, hw, ic, halo=3, col_off=1)
+    pop = PackedConvOp(cfg, wei, bia0, wei1, bia1, sin=sin,
+                       col_off_out=1, halo_out=2,
+                       sum_spec=PackedSpec.make(hw, hw, oc1 or oc,
+                                                halo=3, col_off=1,
+                                                iwp=sin.iwp))
+    out = pop(pack_image(src, pop.sin),
+              sum_arr=pack_image(sum_u8, pop.ssum))
+    compare(unpack_image(np.asarray(out), pop.sout), expect,
+            f"packed sum post-op fused={fused}")
+    # the output is itself a valid packed image
+    np.testing.assert_array_equal(np.asarray(out),
+                                  pack_image(expect, pop.sout))
+
+
+def test_packed_sum_validation(rng):
+    cfg, src, wei, bia0, wei1, bia1 = _sum_cfg(1, 12, 32, 32, None, rng)
+    sin = PackedSpec.make(12, 12, 32, halo=2, col_off=1)
+    bad = PackedSpec.make(12, 12, 32, halo=1, col_off=1, iwp=sin.iwp)
+    with pytest.raises(CheckError):   # sum halo shallower than output's
+        PackedConvOp(cfg, wei, bia0, sin=sin, col_off_out=1, halo_out=2,
+                     sum_spec=bad)
+    with pytest.raises(CheckError):   # cfg has sum but no spec given
+        PackedConvOp(cfg, wei, bia0, sin=sin, col_off_out=1, halo_out=1)
+
+
+# ----- strided (s2d-lowered) packed conv (VERDICT r2 #5) -----
+
+@pytest.mark.parametrize("k,stride,pad", [(3, 2, 1), (2, 2, 0), (5, 2, 2)])
+def test_packed_strided_conv(k, stride, pad, rng):
+    """A strided PackedConvOp runs the stride-1 packed kernel on the s2d
+    grid and must equal the dense strided ConvOp bit-for-bit."""
+    from deepfusion_tpu.ops import layout
+    from deepfusion_tpu.ops.conv import ConvOp
+    mb, hw, ic, oc = 2, 14, 16, 32
+    oh = conv_output_size(hw, k, stride, pad)
+    src = fill_data((mb, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, k, k), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    cfg = ConvConfig.make((mb, hw, hw, ic), (oc, ic, k, k), bia.dtype,
+                          (stride, stride), (pad, pad), (mb, oh, oh, oc),
+                          "u8", conv0_relu=True, conv0_scales=(0.02,))
+    expect = np.asarray(ConvOp(cfg, wei, bia)(src))
+
+    cfg2 = layout.s2d_cfg(cfg)
+    kh2 = (k - 1) // stride + 1
+    sin = PackedSpec(h=cfg2.ih, w=cfg2.iw, c=cfg2.ic, cp=cfg2.icp,
+                     halo=2, col_off=1,
+                     iwp=((cfg2.iw + 1 + (kh2 - 1) + 7) // 8) * 8)
+    pop = PackedConvOp(cfg, wei, bia, sin=sin, col_off_out=1, halo_out=2)
+    assert pop.cfg_orig is not None
+    out = pop(pop.pack_input(src))
+    compare(unpack_image(np.asarray(out), pop.sout), expect,
+            f"packed strided conv k={k} s={stride} p={pad}")
+
+
+def test_packed_strided_save_load(tmp_path, rng):
+    """cfg_orig (the pre-s2d config) must survive save/load so pack_input
+    keeps working on a restored op."""
+    from deepfusion_tpu.ops.conv import ConvOp
+    mb, hw, ic, oc = 1, 10, 16, 32
+    oh = conv_output_size(hw, 3, 2, 1)
+    src = fill_data((mb, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    cfg = ConvConfig.make((mb, hw, hw, ic), (oc, ic, 3, 3), bia.dtype,
+                          (2, 2), (1, 1), (mb, oh, oh, oc), "u8",
+                          conv0_relu=True, conv0_scales=(0.02,))
+    pop = PackedConvOp(cfg, wei, bia)
+    path = str(tmp_path / "s2d.npz")
+    pop.save(path)
+    pop2 = PackedConvOp.load(path)
+    assert pop2.cfg_orig == pop.cfg_orig and pop2.ssum is None
+    a = np.asarray(pop(pop.pack_input(src)))
+    b = np.asarray(pop2(pop2.pack_input(src)))
+    np.testing.assert_array_equal(a, b)
