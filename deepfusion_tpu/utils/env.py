@@ -54,14 +54,11 @@ def tpu_compiler_params(dimension_semantics=None):
       headroom for Mosaic's own temporaries, so the tile picker's budget
       is the single source of truth.
 
-    * ``dimension_semantics`` — grid dims default to "arbitrary"
-      (sequential, possibly-dependent), which fences the scheduler: the
-      requant epilogue's VPU chain then serializes after the tile's MXU
-      dots, costing ~30pp of roofline on the fused conv (measured; no
-      in-kernel restructuring recovers it). Declaring independent dims
-      "parallel" lets Mosaic overlap step t's VPU epilogue with step
-      t+1's matmuls: 63.5% -> 94.6% of int8 roofline on the flagship
-      kernel, bit-exact. Dims that accumulate across steps (the
+    * ``dimension_semantics`` — independent grid dims are declared
+      "parallel" (semantically required; the early "63.5% -> 94.6%"
+      speedup attributed to it was N=24/min-of-reps protocol noise —
+      re-measured perf-neutral on the single-core v5e under the honest
+      protocol, docs/PERF.md). Dims that accumulate across steps (the
       ic-chunk dim) must stay "arbitrary".
     """
     from jax.experimental.pallas import tpu as pltpu
