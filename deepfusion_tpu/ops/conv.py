@@ -85,12 +85,17 @@ def _row_patch(src_ref, cfg: ConvConfig, t_idx):
 
 
 def _acc_kw_rolled(patch, w3_ref, cfg: ConvConfig):
-    """KW matmuls (K = kh*icp each) + output-side rolls.
+    """KW taps off one patch: y[p] = sum_kj z_kj[p + kj] (conv identity;
+    z_kj = patch @ tap-kj weights). Wrap-around rows land on discarded
+    out-of-row outputs in both formulations:
 
-    conv identity: y[p] = sum_kj z_kj[p + kj] where z_kj is the matmul of
-    the unshifted patch against the kj tap's weights. pltpu.roll only
-    handles 32-bit data — exactly our s32 accumulators. Wrap-around rows
-    land on discarded out-of-row outputs.
+    * kw <= 4 (every tap shift < 4): exact INPUT-side byte shifts of the
+      int8 patch on its bitcast-i32 view, lane-concatenated into ONE
+      K = kw*kh*icp matmul — no s32 rolls, no inter-tap VPU adds
+      (scratch/roll_probe.py bshift1; same formulation as the packed
+      kernel).
+    * otherwise: per-tap matmuls + output-side pltpu.roll of the s32
+      partials (pltpu.roll only handles 32-bit data).
 
     w3_ref may be 2-D (whole K panel) or 3-D with a leading singleton
     (one ic-chunk's panel selected by the grid).
@@ -98,7 +103,12 @@ def _acc_kw_rolled(patch, w3_ref, cfg: ConvConfig):
     m = patch.shape[0]
     ksub = cfg.kh * cfg.icp
     interp = env.interpret_kernels()
-    w3 = w3_ref[0] if len(w3_ref.shape) == 3 else w3_ref
+    w3 = w3_ref[0] if len(w3_ref.shape) == 3 else w3_ref[...]
+    if cfg.kw <= 4:
+        from .packed import _shifted_patch
+        taps = [_shifted_patch(patch, kj, interp) for kj in range(cfg.kw)]
+        wide = taps[0] if cfg.kw == 1 else jnp.concatenate(taps, axis=-1)
+        return jnp.dot(wide, w3, preferred_element_type=jnp.int32)
     acc = None
     for kj in range(cfg.kw):
         part = jnp.dot(patch, w3[kj * ksub:(kj + 1) * ksub, :],
