@@ -755,7 +755,12 @@ class PackedConvOp:
         keys = (("w3", "corr0", "bias0", "scale0")
                 + (("w1", "corr1", "bias1", "scale1")
                    if cfg.fuse_conv1x1 else ()))
-        self._operands = [jnp.asarray(packed[k]) for k in keys]
+        # ensure_compile_time_eval: ops may be constructed lazily
+        # inside a traced model forward (e.g. build_packed under a
+        # benchmark scan); without it the cached operands would be
+        # tracers that leak into the next trace
+        with jax.ensure_compile_time_eval():
+            self._operands = [jnp.asarray(packed[k]) for k in keys]
         out_c = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
         ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
         min_halo = max(cfg.ph, 1)
@@ -867,5 +872,6 @@ class PackedConvOp:
         op.sin = op.sins[0]
         op.sout = cfgs["sout"]
         keys = cls._OPERAND_KEYS[:8 if op.cfg.fuse_conv1x1 else 4]
-        op._operands = [jnp.asarray(data[k]) for k in keys]
+        with jax.ensure_compile_time_eval():
+            op._operands = [jnp.asarray(data[k]) for k in keys]
         return op

@@ -5,6 +5,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/jax_df")
 
 import numpy as np
 
@@ -34,6 +35,8 @@ def expect(out, ref, tag):
 
 
 def main():
+    import bench
+    bench._enable_compile_cache()
     from deepfusion_tpu.config import ConvConfig, PoolConfig
     from deepfusion_tpu.ops.conv import ConvOp
     from deepfusion_tpu.ops.ref import conv_ref, pool_ref
@@ -110,6 +113,19 @@ def main():
                                       sum_arr=pack_image(sum_u8, pop.ssum))),
                        pop.sout)
     expect(got, np.asarray(dense_sum), "packed sum post-op")
+
+    # asymmetric col_offs: tap shifts beyond the flagship's {-1,0,+1} —
+    # col_off 3 drives the bitcast-i32 byte shifts at d in {1,2,3};
+    # col_off 4 (d up to 4) falls back to the output-side roll path
+    dense_f = np.asarray(ConvOp(fcfg, wei, bia, wei1, bia1)(src))
+    for coff, tag in ((3, "byte-shift d<=3"), (4, "roll fallback d=4")):
+        popc = PackedConvOp(
+            fcfg, wei, bia, wei1, bia1,
+            sin=PackedSpec.make(ih, ih, ic, halo=3, col_off=coff, iwp=24),
+            col_off_out=1, halo_out=2)
+        got = unpack_image(np.asarray(popc(pack_image(src, popc.sin))),
+                           popc.sout)
+        expect(got, dense_f, f"packed conv tap shifts ({tag})")
 
     st_oh = conv_output_size(ih, 3, 2, 1)
     stcfg = ConvConfig.make((n, ih, ih, ic), (oc, ic, 3, 3), bia.dtype,

@@ -101,3 +101,34 @@ def test_resfusion_packed_path_bit_identical():
     dense = np.asarray(net(x))
     packed = np.asarray(net.jit_packed()(x))
     np.testing.assert_array_equal(dense, packed)
+
+
+def test_packed_build_under_trace():
+    """Ops constructed lazily inside a traced forward (the benchmark scan
+    builds the packed pipeline during its first trace) must not leak
+    tracers into later traces (regression: UnexpectedTracerError in
+    bench --op model --packed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from deepfusion_tpu.models import ResFusionNet, ResFusionNetConfig
+    net = ResFusionNet(ResFusionNetConfig(batch=1, hw=16, in_ch=16,
+                                          width=32, num_classes=16))
+    x0 = jnp.asarray(net.example_input())
+
+    def step(x):
+        out = net.packed_call(x)
+        bump = (out.astype(jnp.int32).sum() & 1).astype(jnp.uint8)
+        return x + bump
+
+    def chain(n):
+        @jax.jit
+        def run(x):
+            x, _ = jax.lax.scan(lambda c, _: (step(c), None), x, None,
+                                length=n)
+            return x.sum()
+        return run
+
+    a = float(chain(2)(x0))   # first trace builds the packed pipeline
+    b = float(chain(2)(x0))   # second trace reuses the cached ops
+    assert a == b

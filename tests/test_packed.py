@@ -378,3 +378,24 @@ def test_packed_strided_save_load(tmp_path, rng):
     a = np.asarray(pop(pop.pack_input(src)))
     b = np.asarray(pop2(pop2.pack_input(src)))
     np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("off_in,off_out", [(3, 1), (1, 3), (4, 1)])
+def test_packed_conv_large_tap_shifts(off_in, off_out, rng):
+    """Asymmetric col_offs drive the tap shifts d = off_in - off_out + kj
+    - pw beyond the flagship's {-1,0,1} — exercising _shifted_patch at
+    |d| in {2,3} (and the roll fallback beyond 4 via the dense oracle)."""
+    from deepfusion_tpu.ops.conv import ConvOp
+    mb, hw, ic, oc = 1, 12, 32, 32
+    cfg, src, wei, bia0, _, _ = build_cfg(mb, ic, hw, oc, 1, rng=rng)
+    expect = np.asarray(ConvOp(cfg, wei, bia0)(src))
+    iwp = ((hw + off_in + off_out + 6) // 8 + 1) * 8
+    sin = PackedSpec.make(hw, hw, ic, halo=3, col_off=off_in, iwp=iwp)
+    pop = PackedConvOp(cfg, wei, bia0, sin=sin, col_off_out=off_out,
+                       halo_out=2)
+    ds = [sin.col_off - pop.sout.col_off + kj - cfg.pw
+          for kj in range(cfg.kw)]
+    assert any(abs(d) >= 2 for d in ds), ds
+    out = pop(pack_image(src, pop.sin))
+    compare(unpack_image(np.asarray(out), pop.sout), expect,
+            f"packed conv tap shifts {ds}")
