@@ -132,6 +132,9 @@ STRIDED_SHAPES = [
     (1, 8, 11, 11, 16, 3, 3, 1, 1, 3, 3),    # stride 3 (stride == kernel)
     (1, 8, 10, 10, 16, 5, 5, 2, 2, 2, 2),    # 5x5 kernel, stride 2
     (1, 8, 9, 9, 16, 3, 3, 0, 0, 4, 4),      # stride > kernel (crop path)
+    # ResNet-stem geometry, spatially scaled (the real 50x3x224x224 case
+    # runs on-chip in scratch/refscale_tpu.py): 7x7/s2 p3, 3 input chans
+    (2, 3, 28, 28, 16, 7, 7, 3, 3, 2, 2),
 ]
 
 
