@@ -308,15 +308,27 @@ def bench_model(args):
 
     if args.model == "resfusion":
         from deepfusion_tpu.models import ResFusionNet, ResFusionNetConfig
-        net = ResFusionNet(ResFusionNetConfig(batch=args.batch, hw=64,
+        net = ResFusionNet(ResFusionNetConfig(batch=args.batch,
+                                              hw=args.model_hw or 64,
                                               in_ch=32, width=128,
                                               num_classes=128))
     else:
         from deepfusion_tpu.models import FusionNet, FusionNetConfig
-        net = FusionNet(FusionNetConfig(batch=args.batch, hw=56, in_ch=32,
+        net = FusionNet(FusionNetConfig(batch=args.batch,
+                                        hw=args.model_hw or 56, in_ch=32,
                                         width=128, num_classes=128))
     x0 = jax.device_put(net.example_input())
-    fwd = net.packed_call if args.packed else net.__call__
+    # Default path per model family, from the round-3 on-chip measurement
+    # (artifacts/MODEL_r03.json): the layout-persistent packed path WINS on
+    # FusionNet (0.255 vs 0.286 ms at hw=56 — the halo columns pad 56->64
+    # exactly like dense's own width padding, so packing is pure savings),
+    # and LOSES on ResFusionNet (0.142 vs 0.101 ms — its strided stem
+    # halves images to w=32, where the fixed 2*halo+col_off columns are a
+    # 50% M-row tax, iwp=48 for w=32). Crossover is near w=56; --packed /
+    # --dense force either path.
+    use_packed = args.packed or (args.model == "fusionnet"
+                                 and not args.dense)
+    fwd = net.packed_call if use_packed else net.__call__
 
     def step(x):
         out = fwd(x)
@@ -327,7 +339,8 @@ def bench_model(args):
 
     sec = timeit_chain(step, x0, args.iters, reps=8, spread_s=45)
     imgs = args.batch / sec
-    tag = args.model + ("/packed" if args.packed else "/dense")
+    tag = args.model + (f"@{args.model_hw}" if args.model_hw else "") \
+        + ("/packed" if use_packed else "/dense")
     print(f"# {tag} {sec*1e3:.3f} ms/iter {imgs:.0f} imgs/s",
           file=sys.stderr)
     return {"metric": f"{args.model}_imgs_per_sec", "value": round(imgs, 1),
@@ -438,14 +451,21 @@ def main():
     p.add_argument("--compare-xla", action="store_true",
                    help="also time a plain-XLA composition of the same op")
     p.add_argument("--dense", action="store_true",
-                   help="fused: time the dense-in/dense-out op instead of "
-                        "the packed-domain chain")
+                   help="fused/model: time the dense path instead of the "
+                        "packed-domain chain (model: packed is the default "
+                        "for fusionnet, where it measures faster)")
     p.add_argument("--packed", action="store_true",
                    help="model: time the layout-persistent packed path "
                         "instead of the dense op-by-op path")
     p.add_argument("--model", default="fusionnet",
                    choices=["fusionnet", "resfusion"],
                    help="model: which model family to time")
+    p.add_argument("--model-hw", type=int, default=None,
+                   help="model: input image side (default 56 fusionnet / "
+                        "64 resfusion). The packed path's halo columns are "
+                        "a fixed per-row tax, so packed-vs-dense flips "
+                        "with this: measured crossover is around hw=64 "
+                        "(see docs/PERF.md model-scale section)")
     p.add_argument("--mesh", default="dp=1",
                    help="scaling: mesh axes, e.g. dp=4 or dp=2,sp=2")
     p.add_argument("--hosts", type=int, default=1,
