@@ -120,6 +120,22 @@ def prep_src(cfg: ConvConfig, src_u8, xp=np):
 # kernel (reference handles stride in-kernel, src/jit_conv_kernel.cc:512-673).
 
 
+def _s2d_regroup(x, ih2: int, iw2: int, sh: int, sw: int, ic: int, xp):
+    """(N, ih2*sh, iw2*sw, IC) -> (N, ih2, iw2, sh*sw*IC) with lane group
+    g = (row%sh)*sw + (col%sw), i.e. channel index g*ic + c.
+
+    Equivalent to reshape(n,ih2,sh,iw2,sw,ic) + transpose(0,1,3,2,4,5),
+    but expressed as sh strided ROW slices + a pure reshape + one channel
+    concat: the W-direction regroup is a no-op relayout (cols are already
+    contiguous as (iw2, sw*ic)), so the only data movement XLA sees is
+    row-strided copies of full rows. The 6-D transpose form puts the tiny
+    ic (3 for a ResNet stem) innermost and lowers to a scalar-ish gather
+    on TPU; this form keeps every copy lane-contiguous."""
+    n = x.shape[0]
+    slabs = [x[:, a::sh].reshape(n, ih2, iw2, sw * ic) for a in range(sh)]
+    return slabs[0] if sh == 1 else xp.concatenate(slabs, axis=-1)
+
+
 def s2d_taps(cfg: ConvConfig) -> Tuple[int, int]:
     """Kernel extent of the stride-1 equivalent on the s2d grid."""
     return (cfg.kh - 1) // cfg.sh + 1, (cfg.kw - 1) // cfg.sw + 1
@@ -179,9 +195,7 @@ def prep_src_s2d(cfg: ConvConfig, cfg2: ConvConfig, src_u8, xp=np):
     x = src[:, :take_h, :take_w, :]
     x = xp.pad(x, ((0, 0), (cfg.ph, hp - cfg.ph - take_h),
                    (cfg.pw, wp - cfg.pw - take_w), (0, 0)))
-    x = x.reshape(n, cfg2.ih, sh, cfg2.iw, sw, ic)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(n, cfg2.ih, cfg2.iw,
-                                              sh * sw * ic)
+    x = _s2d_regroup(x, cfg2.ih, cfg2.iw, sh, sw, ic, xp)
     iwp8 = round_up(cfg2.iw, 8)
     x = xp.pad(x, ((0, 0), (0, 0), (0, iwp8 - cfg2.iw),
                    (0, cfg2.icp - sh * sw * ic)))
@@ -204,9 +218,7 @@ def s2d_image_u8(cfg: ConvConfig, src_u8, xp=np):
     x = src[:, :take_h, :take_w, :]
     x = xp.pad(x, ((0, 0), (cfg.ph, hp - cfg.ph - take_h),
                    (cfg.pw, wp - cfg.pw - take_w), (0, 0)))
-    x = x.reshape(n, cfg2.ih, sh, cfg2.iw, sw, ic)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, cfg2.ih, cfg2.iw,
-                                                 sh * sw * ic)
+    return _s2d_regroup(x, cfg2.ih, cfg2.iw, sh, sw, ic, xp)
 
 
 def pack_all(cfg: ConvConfig, wei, bias=None, wei1x1=None, bias1x1=None

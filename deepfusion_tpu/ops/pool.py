@@ -52,9 +52,11 @@ def _space_to_depth(x, sh, sw, pad_val):
     if hp != h or wp != w:
         x = jnp.pad(x, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)),
                     constant_values=np.asarray(pad_val, dtype=x.dtype))
-    x = x.reshape(n, hp // sh, sh, wp // sw, sw, c)
-    x = x.transpose(0, 1, 3, 2, 4, 5)
-    return x.reshape(n, hp // sh, wp // sw, sh * sw * c)
+    # row-parity-slice regroup (lane group g = (row%sh)*sw + (col%sw)):
+    # same data movement as the former reshape+6-D-transpose but every
+    # copy is lane-contiguous (see layout._s2d_regroup; the transpose
+    # form was the ResNet-stem maxpool bottleneck, scratch/stem_probe.py)
+    return layout._s2d_regroup(x, hp // sh, wp // sw, sh, sw, c, jnp)
 
 
 def _pool_kernel(x_ref, out_ref, *, pc: PoolConfig, dt: dtype,
