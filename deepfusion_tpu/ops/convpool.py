@@ -36,8 +36,17 @@ from .requant import round_f32, saturate_to
 
 
 def pool2_fusable(cfg: ConvConfig, pc: PoolConfig) -> bool:
-    """Can (cfg, pc) run as one kernel? (See module docstring.)"""
-    return (cfg.sh == 1 and cfg.sw == 1 and not cfg.fuse_conv1x1
+    """Can (cfg, pc) run as one kernel? (See module docstring.)
+
+    Strided convs qualify through the space-to-depth lowering
+    (``layout.s2d_cfg``): the kernel that actually runs is stride-1 with
+    identical (oh, ow), so fusability is the s2d config's. This makes a
+    ResNet 7x7/s2 stem + maxpool2 a SINGLE kernel — the conv output
+    (40 MB at the 50x3x224x224 spec shape) never exists in HBM."""
+    if (cfg.sh, cfg.sw) != (1, 1):
+        return (not cfg.fuse_conv1x1
+                and pool2_fusable(layout.s2d_cfg(cfg), pc))
+    return (not cfg.fuse_conv1x1
             and (pc.kh, pc.kw, pc.sh, pc.sw) == (2, 2, 2, 2)
             and (pc.ph, pc.pw, pc.pb, pc.pr) == (0, 0, 0, 0)
             and cfg.oh % 2 == 0 and cfg.ow % 2 == 0
@@ -105,10 +114,15 @@ def _convpool_kernel(*refs, cfg: ConvConfig, pc: PoolConfig):
     out_ref[0] = saturate_to(y, cfg.dst_dt)[:, :cfg.oc]
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "pc"))
+@functools.partial(jax.jit, static_argnames=("cfg", "pc", "cfg_orig"))
 def _convpool_call(cfg: ConvConfig, pc: PoolConfig, src_u8,
-                   w3, corr0, bias0, scale0, sum_src=None):
-    srcp = layout.prep_src(cfg, src_u8, xp=jnp)
+                   w3, corr0, bias0, scale0, sum_src=None, cfg_orig=None):
+    if cfg_orig is not None:
+        # strided op: cfg is the stride-1 s2d kernel config; prep maps the
+        # original NHWC image onto the s2d grid (ops/layout.py)
+        srcp = layout.prep_src_s2d(cfg_orig, cfg, src_u8, xp=jnp)
+    else:
+        srcp = layout.prep_src(cfg, src_u8, xp=jnp)
     n = srcp.shape[0]
     ihp = cfg.ih + 2 * cfg.ph
     iwp = _flat_iwp(cfg)
@@ -156,24 +170,40 @@ def _convpool_call(cfg: ConvConfig, pc: PoolConfig, src_u8,
         :, :, :cfg.ow // 2, :]
 
 
+def _kernel_cfg(cfg: ConvConfig) -> ConvConfig:
+    """The stride-1 config the fused kernel actually runs: the s2d
+    equivalent for strided convs, then an even row_tile with no ic
+    chunking (the pool epilogue pairs conv rows within a tile).
+    Deterministic in cfg, so save/load can rebuild it."""
+    import dataclasses
+
+    if (cfg.sh, cfg.sw) != (1, 1):
+        cfg = layout.s2d_cfg(cfg)
+    if cfg.row_tile % 2 or cfg.ic_chunks != 1:
+        evens = [t for t in range(2, cfg.oh + 1, 2)
+                 if cfg.oh % t == 0 and t <= cfg.row_tile]
+        cfg = dataclasses.replace(cfg, ic_chunks=1,
+                                  row_tile=evens[-1] if evens else 2)
+    return cfg
+
+
 class ConvPoolOp:
-    """Pre-packed fused conv(+relu)(+sum)+pool2x2/s2 op (single kernel)."""
+    """Pre-packed fused conv(+relu)(+sum)+pool2x2/s2 op (single kernel).
+
+    Accepts any stride pool2_fusable admits: strided convs remap weights
+    onto the s2d grid (``layout.s2d_weights``) and run the same stride-1
+    kernel — e.g. the ResNet 50x3x224x224 7x7/s2 stem + maxpool2 is one
+    Pallas program with no HBM intermediate."""
 
     def __init__(self, cfg: ConvConfig, pc: PoolConfig, wei, bia=None):
-        import dataclasses
-
         from ..utils.logger import check
         check(pool2_fusable(cfg, pc), "geometry not single-kernel fusable "
                                       "(see convpool.pool2_fusable)")
-        if cfg.row_tile % 2 or cfg.ic_chunks != 1:
-            # pool pairs conv rows within a tile: re-pick an even divisor
-            # (and read the whole K panel — this kernel has no ic chunking)
-            evens = [t for t in range(2, cfg.oh + 1, 2)
-                     if cfg.oh % t == 0 and t <= cfg.row_tile]
-            cfg = dataclasses.replace(cfg, ic_chunks=1,
-                                      row_tile=evens[-1] if evens else 2)
-        self.cfg, self.pc = cfg, pc
-        packed = layout.pack_all(cfg, wei, bia)
+        self.cfg_orig = cfg
+        if (cfg.sh, cfg.sw) != (1, 1):
+            wei = layout.s2d_weights(cfg, np.asarray(wei))
+        self.cfg, self.pc = _kernel_cfg(cfg), pc
+        packed = layout.pack_all(self.cfg, wei, bia)
         self._operands = [jnp.asarray(packed["w3"]),
                           jnp.asarray(packed["corr0"]),
                           jnp.asarray(packed["bias0"]),
@@ -183,6 +213,8 @@ class ConvPoolOp:
         kw = {}
         if sum_src is not None:
             kw["sum_src"] = jnp.asarray(sum_src)
+        if (self.cfg_orig.sh, self.cfg_orig.sw) != (1, 1):
+            kw["cfg_orig"] = self.cfg_orig
         return _convpool_call(self.cfg, self.pc, jnp.asarray(src_u8),
                               *self._operands, **kw)
 
@@ -190,11 +222,13 @@ class ConvPoolOp:
     _OPERAND_KEYS = ("w3", "corr0", "bias0", "scale0")
 
     def save(self, path: str):
-        """Save the packed operands + conv/pool configs to .npz."""
+        """Save the packed operands + conv/pool configs to .npz. The
+        ORIGINAL (possibly strided) config is stored; the s2d/evenness
+        kernel config is rebuilt deterministically on load."""
         from ..utils.persist import dump_configs
         arrs = {k: np.asarray(v) for k, v in
                 zip(self._OPERAND_KEYS, self._operands)}
-        np.savez(path, __cfg__=dump_configs(cfg=self.cfg, pc=self.pc),
+        np.savez(path, __cfg__=dump_configs(cfg=self.cfg_orig, pc=self.pc),
                  **arrs)
 
     @classmethod
@@ -203,6 +237,7 @@ class ConvPoolOp:
         data = np.load(path, allow_pickle=False)
         cfgs = load_configs(data["__cfg__"], cfg=ConvConfig, pc=PoolConfig)
         op = cls.__new__(cls)
-        op.cfg, op.pc = cfgs["cfg"], cfgs["pc"]
+        op.cfg_orig, op.pc = cfgs["cfg"], cfgs["pc"]
+        op.cfg = _kernel_cfg(op.cfg_orig)
         op._operands = [jnp.asarray(data[k]) for k in cls._OPERAND_KEYS]
         return op

@@ -174,3 +174,32 @@ def test_eltwise_rejects_mismatch(rng):
     b = fill_data((1, 2, 2, 32), "s8", rng)
     with pytest.raises(CheckError):
         eltwise_sum_relu(a, b)
+
+
+# ----- strided conv + pool in one kernel (s2d-lowered, VERDICT r2 #7) -----
+
+STRIDED_CP_SHAPES = [
+    # (n, ic, ih, oc, kh, ph, sh): conv k/s/p square, + maxpool2x2/s2
+    (2, 3, 28, 16, 7, 3, 2),    # ResNet-stem geometry, spatially scaled
+    (1, 16, 24, 32, 3, 1, 2),   # 3x3/s2 downsampling block
+    (1, 8, 24, 16, 5, 2, 3),    # 5x5/s3
+]
+
+
+@pytest.mark.parametrize("shape", STRIDED_CP_SHAPES)
+def test_convpool_strided_single_kernel(shape, rng):
+    from deepfusion_tpu.ops.convpool import ConvPoolOp, pool2_fusable
+    n, ic, ih, oc, kh, ph, sh = shape
+    src = fill_data((n, ih, ih, ic), "u8", rng)
+    wei = fill_data((oc, ic, kh, kh), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    oh = conv_output_size(ih, kh, sh, ph)
+    assert oh % 2 == 0
+    cfg = ConvConfig.make((n, ih, ih, ic), (oc, ic, kh, kh), bia.dtype,
+                          (sh, sh), (ph, ph), (n, oh, oh, oc), "u8",
+                          conv0_relu=True, conv0_scales=(0.05,))
+    pc = PoolConfig.make("max", (oh, oh), (2, 2), (2, 2), (0, 0))
+    assert pool2_fusable(cfg, pc)
+    out = ConvPoolOp(cfg, pc, wei, bia)(src)
+    compare(out, pool_ref(conv_ref(cfg, src, wei, bia), pc),
+            f"strided convpool {shape}")
