@@ -57,6 +57,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ConvConfig
 from ..types import dtype, round_mode
 from ..utils import env
+from ..utils.opcache import OperandCache
 from . import layout
 from .requant import requant, requant_to_u8_centered
 
@@ -441,15 +442,14 @@ class ConvOp:
         if self.cfg2 is not None:
             wei = layout.s2d_weights(cfg, np.asarray(wei))
         packed = layout.pack_all(self.cfg2 or cfg, wei, bia, wei1x1, bia1x1)
-        self._operands = [jnp.asarray(packed["w3"]),
-                          jnp.asarray(packed["corr0"]),
-                          jnp.asarray(packed["bias0"]),
-                          jnp.asarray(packed["scale0"])]
-        if cfg.fuse_conv1x1:
-            self._operands += [jnp.asarray(packed["w1"]),
-                               jnp.asarray(packed["corr1"]),
-                               jnp.asarray(packed["bias1"]),
-                               jnp.asarray(packed["scale1"])]
+        keys = self._OPERAND_KEYS[:8 if cfg.fuse_conv1x1 else 4]
+        self._cache = OperandCache([packed[k] for k in keys])
+
+    # host-side packed operands (numpy): safe to close over in traced
+    # callers (shard wrappers, model forwards) — see utils/opcache.py
+    @property
+    def _operands(self):
+        return self._cache.host
 
     def __call__(self, src_u8, sum_src=None):
         src = jnp.asarray(src_u8)
@@ -466,10 +466,11 @@ class ConvOp:
             maybe_dump_lowered(name, call, *cfgs, src, *self._operands)
             self._dumped = True
         kw = {}
+        operands = self._cache.for_call(src)
         if self.cfg.fuse_conv1x1:
-            args = self._operands
+            args = operands
         else:
-            args = self._operands[:4]
+            args = operands[:4]
             kw = dict(w1=None, corr1=None, bias1=None, scale1=None)
         if sum_src is not None:
             kw["sum_src"] = jnp.asarray(sum_src)
@@ -496,7 +497,7 @@ class ConvOp:
         op.cfg = cfg
         op.cfg2 = layout.s2d_cfg(cfg) if (cfg.sh > 1 or cfg.sw > 1) else None
         keys = cls._OPERAND_KEYS[:8 if cfg.fuse_conv1x1 else 4]
-        op._operands = [jnp.asarray(data[k]) for k in keys]
+        op._cache = OperandCache([data[k] for k in keys])
         return op
 
 

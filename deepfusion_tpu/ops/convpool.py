@@ -30,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ConvConfig, PoolConfig
 from ..types import dtype, round_mode
 from ..utils import env
+from ..utils.opcache import OperandCache
 from . import layout
 from .conv import _acc_kw_rolled, _flat_iwp, _row_patch, _sum_term, _vec_spec
 from .requant import round_f32, saturate_to
@@ -204,10 +205,13 @@ class ConvPoolOp:
             wei = layout.s2d_weights(cfg, np.asarray(wei))
         self.cfg, self.pc = _kernel_cfg(cfg), pc
         packed = layout.pack_all(self.cfg, wei, bia)
-        self._operands = [jnp.asarray(packed["w3"]),
-                          jnp.asarray(packed["corr0"]),
-                          jnp.asarray(packed["bias0"]),
-                          jnp.asarray(packed["scale0"])]
+        self._cache = OperandCache([packed[k] for k in self._OPERAND_KEYS])
+
+    # host-side packed operands (numpy): safe to close over in traced
+    # callers — see utils/opcache.py
+    @property
+    def _operands(self):
+        return self._cache.host
 
     def __call__(self, src_u8, sum_src=None):
         kw = {}
@@ -215,8 +219,9 @@ class ConvPoolOp:
             kw["sum_src"] = jnp.asarray(sum_src)
         if (self.cfg_orig.sh, self.cfg_orig.sw) != (1, 1):
             kw["cfg_orig"] = self.cfg_orig
-        return _convpool_call(self.cfg, self.pc, jnp.asarray(src_u8),
-                              *self._operands, **kw)
+        src = jnp.asarray(src_u8)
+        return _convpool_call(self.cfg, self.pc, src,
+                              *self._cache.for_call(src), **kw)
 
     # --- packed-weight persistence (mirrors ConvOp.save/load) ---
     _OPERAND_KEYS = ("w3", "corr0", "bias0", "scale0")
@@ -239,5 +244,5 @@ class ConvPoolOp:
         op = cls.__new__(cls)
         op.cfg_orig, op.pc = cfgs["cfg"], cfgs["pc"]
         op.cfg = _kernel_cfg(op.cfg_orig)
-        op._operands = [jnp.asarray(data[k]) for k in cls._OPERAND_KEYS]
+        op._cache = OperandCache([data[k] for k in cls._OPERAND_KEYS])
         return op

@@ -55,6 +55,7 @@ from ..types import dtype
 from ..utils import env
 from ..utils.logger import check
 from ..utils.mathutil import round_up
+from ..utils.opcache import OperandCache
 from .requant import requant_to_u8_centered
 
 
@@ -755,12 +756,10 @@ class PackedConvOp:
         keys = (("w3", "corr0", "bias0", "scale0")
                 + (("w1", "corr1", "bias1", "scale1")
                    if cfg.fuse_conv1x1 else ()))
-        # ensure_compile_time_eval: ops may be constructed lazily
-        # inside a traced model forward (e.g. build_packed under a
-        # benchmark scan); without it the cached operands would be
-        # tracers that leak into the next trace
-        with jax.ensure_compile_time_eval():
-            self._operands = [jnp.asarray(packed[k]) for k in keys]
+        # host numpy cache: safe to construct inside a traced model
+        # forward (numpy cannot leak as a tracer) and safe to close over
+        # in traced callers — see utils/opcache.py
+        self._cache = OperandCache([packed[k] for k in keys])
         out_c = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
         ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
         min_halo = max(cfg.ph, 1)
@@ -802,6 +801,10 @@ class PackedConvOp:
         self.sout = sout
         self.ssum = sum_spec
 
+    @property
+    def _operands(self):
+        return self._cache.host
+
     def pack_input(self, src_u8, xp=np):
         """Model-boundary pack: dense NHWC u8 -> this op's packed input
         (applies the s2d regroup first for strided configs)."""
@@ -827,7 +830,7 @@ class PackedConvOp:
                   "sum_arr does not match the sum spec")
             kw = dict(ssum=self.ssum, sum_arr=sum_arr)
         return _packed_call(self.cfg, self.sins, self.sout,
-                            arrs, *self._operands, **kw)
+                            arrs, *self._cache.for_call(arrs[0]), **kw)
 
     # --- packed-weight persistence (mirrors ConvOp.save/load; the input/
     # output PackedSpecs are part of the op's contract, so they persist
@@ -872,6 +875,5 @@ class PackedConvOp:
         op.sin = op.sins[0]
         op.sout = cfgs["sout"]
         keys = cls._OPERAND_KEYS[:8 if op.cfg.fuse_conv1x1 else 4]
-        with jax.ensure_compile_time_eval():
-            op._operands = [jnp.asarray(data[k]) for k in keys]
+        op._cache = OperandCache([data[k] for k in keys])
         return op

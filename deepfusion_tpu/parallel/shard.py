@@ -164,10 +164,11 @@ def tp_fused_conv(cfg: ConvConfig, wei, bia, wei1x1, bia1x1,
             chunk = cfg.oc1x1p // n_shard
             shards[d]["bias1"] = bias1_full[d * chunk:(d + 1) * chunk]
             shards[d]["scale1"] = scale1_full[d * chunk:(d + 1) * chunk]
-    stacked = {k: jnp.asarray(np.stack([s[k] for s in shards]))
-               for k in shards[0]}
-    bias1 = jnp.asarray(bias1_full)
-    scale1 = jnp.asarray(scale1_full)
+    # host numpy: the jitted caller closes over these, and host-side
+    # constants embed into MLIR without a device readback (utils/opcache.py)
+    stacked = {k: np.stack([s[k] for s in shards]) for k in shards[0]}
+    bias1 = bias1_full
+    scale1 = scale1_full
     keys = tuple(shards[0])
 
     def local_fn(src, *sharded):
