@@ -51,7 +51,26 @@ def pool2_fusable(cfg: ConvConfig, pc: PoolConfig) -> bool:
             and (pc.kh, pc.kw, pc.sh, pc.sw) == (2, 2, 2, 2)
             and (pc.ph, pc.pw, pc.pb, pc.pr) == (0, 0, 0, 0)
             and cfg.oh % 2 == 0 and cfg.ow % 2 == 0
-            and (pc.kind == "max" or cfg.dst_dt != dtype.s32))
+            and (pc.kind == "max" or cfg.dst_dt != dtype.s32)
+            and _even_tile_unchunked(cfg) is not None)
+
+
+def _even_tile_unchunked(cfg: ConvConfig):
+    """Largest even row_tile that fits the VMEM budget with ic_chunks=1.
+
+    The pool epilogue pairs conv rows within a tile, so the fused kernel
+    needs an even tile and cannot chunk input channels. Strided s2d
+    configs multiply icp by sh*sw (e.g. 512ch 3x3/s2 -> icp 2048), so a
+    config whose tiling chose ic-chunking to fit VMEM may not fit
+    un-chunked at all — those compose two kernels instead of compiling a
+    VMEM-thrashing fusion (ADVICE r3). None => not fusable."""
+    from ..config import _pick_row_tile
+    best = _pick_row_tile(cfg.oh, cfg.ow, cfg.kh, cfg.kw, 1, cfg.iw,
+                          cfg.icp, cfg.ocp, 0, ic_chunks=1)
+    if best is None:
+        return None
+    evens = [t for t in range(2, best + 1, 2) if cfg.oh % t == 0]
+    return evens[-1] if evens else None
 
 
 def _requant_presat(acc, bias, scale, with_relu, mode, dst: dtype,
@@ -181,10 +200,12 @@ def _kernel_cfg(cfg: ConvConfig) -> ConvConfig:
     if (cfg.sh, cfg.sw) != (1, 1):
         cfg = layout.s2d_cfg(cfg)
     if cfg.row_tile % 2 or cfg.ic_chunks != 1:
-        evens = [t for t in range(2, cfg.oh + 1, 2)
-                 if cfg.oh % t == 0 and t <= cfg.row_tile]
-        cfg = dataclasses.replace(cfg, ic_chunks=1,
-                                  row_tile=evens[-1] if evens else 2)
+        from ..utils.logger import check
+        rt = _even_tile_unchunked(cfg)
+        check(rt is not None, "convpool geometry does not fit VMEM "
+                              "un-chunked (pool2_fusable should have "
+                              "routed this to the composition)")
+        cfg = dataclasses.replace(cfg, ic_chunks=1, row_tile=rt)
     return cfg
 
 

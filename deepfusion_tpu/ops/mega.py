@@ -1,0 +1,417 @@
+"""Two-layer packed megakernel: a chain of TWO fused convs in ONE program.
+
+The packed domain (ops/packed.py) already removes the inter-op layout
+glue; what remains per conv is one HBM read of the packed input and one
+HBM write of the packed output. On this chip that stream traffic is the
+binding term of the fused kernel's roofline gap (~13pp): consuming
+streamed bytes costs compute time no matter how the DMA is structured —
+six kernel structures measured, docs/PERF.md "stream tax". The megakernel
+attacks the tax the only way the measurements leave open: *amortize* the
+bytes over more MACs. One Pallas program computes
+
+    packed in --conv_a(3x3[+1x1])--> VMEM intermediate
+              --conv_b(3x3[+1x1])--> packed out
+
+so two convs share one read + one write — bytes per conv halve. This is
+the reference's register-residency invariant applied one level up: its
+fused 3x3->1x1 keeps the intermediate in zmm registers
+(``src/jit_conv_kernel.cc:275-277``); here the whole *layer boundary*
+stays in VMEM.
+
+Geometry (the interesting part). The grid covers the output's padded row
+space in tiles of T rows, like ops/packed.py. For output tile rows
+[tT, tT+T) layer b needs intermediate virtual rows
+
+    [s2, s2 + T + kh_b - 1),   s2 = tT + (halo_mid - halo_out) - ph_b
+
+— kh_b - 1 extra rows per tile, recomputed by layer a (the classic
+overlapped-tiling trade: (kh_b-1)/T extra MXU rows, 3% at T=64, buys a
+2x cut in HBM traffic). The intermediate is *virtual*: it exists only as
+a (T + kh_b - 1) * iwp row tile in VMEM, and its window is deliberately
+NOT clamped — virtual rows outside the intermediate's own row space are
+simply masked to -128 (u8 zero = conv padding) by the layer-a epilogue
+mask, exactly like any other pad row, so layer b never needs boundary
+rolls at all. Only layer a's *input* window is clamped to the real
+packed array and un-shifted with the static-roll trick of
+ops/packed.py; the garbage rows a wrap introduces land in intermediate
+rows the mask forces to -128 (validate_packed_pair proves this
+statically for the given specs).
+
+Reference scope note: the reference has no two-op fusion across its op
+boundary — this is TPU-roofline-driven design, validated bit-exact
+against the composition of two PackedConvOps (themselves oracle-tested
+against the reference semantics, ops/ref.py).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import ConvConfig
+from ..types import dtype
+from ..utils import env
+from ..utils.logger import check
+from ..utils.opcache import OperandCache
+from .packed import PackedSpec, _narrow_cfg, _shifted_patch, pack_image
+from .requant import requant_to_u8_centered
+
+
+def _pair_offs(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
+               smid: PackedSpec, sout: PackedSpec, T: int):
+    """Static clamp offsets of layer a's input window at the extreme
+    tiles, plus the window starts at t=0 / t=nt-1 (for validation)."""
+    nt = sout.rows // T
+    T2 = T + cfg_b.kh - 1
+    L1 = T2 + cfg_a.kh - 1
+    delta2 = smid.halo - sout.halo
+    delta1 = sin.halo - smid.halo
+
+    def s2u(t):
+        return t * T + delta2 - cfg_b.ph
+
+    def s1u(t):
+        return s2u(t) + delta1 - cfg_a.ph
+
+    off_top = max(0, -s1u(0))
+    off_bot = max(0, s1u(nt - 1) - (sin.rows - L1))
+    return off_top, off_bot, s2u, s1u, T2, L1
+
+
+def validate_packed_pair(cfg_a: ConvConfig, cfg_b: ConvConfig,
+                         sin: PackedSpec, smid: PackedSpec,
+                         sout: PackedSpec):
+    """Legality of running cfg_a then cfg_b in one program (init_conf-style
+    fail-fast checks, util/log.h:50-65 contract)."""
+    for cfg, name in ((cfg_a, "cfg_a"), (cfg_b, "cfg_b")):
+        check(cfg.sh == 1 and cfg.sw == 1,
+              f"megakernel requires stride 1 ({name})")
+        check(cfg.dst_dt == dtype.u8,
+              f"megakernel requires u8 destinations ({name})")
+        check(not cfg.with_sum,
+              f"megakernel does not take sum post-ops ({name})")
+    # chain compatibility: a's output image is b's input image
+    out_c_a = cfg_a.oc1x1 if cfg_a.fuse_conv1x1 else cfg_a.oc
+    ocp_a = cfg_a.oc1x1p if cfg_a.fuse_conv1x1 else cfg_a.ocp
+    check((cfg_a.oh, cfg_a.ow) == (cfg_b.ih, cfg_b.iw),
+          "layer-a output image must be layer-b input image")
+    check(out_c_a == cfg_b.ic and ocp_a == cfg_b.icp,
+          "layer-a output channels must match layer-b input channels")
+    # spec geometry
+    check((sin.h, sin.w, sin.c, sin.cp)
+          == (cfg_a.ih, cfg_a.iw, cfg_a.ic, cfg_a.icp),
+          "input spec does not match cfg_a")
+    check((smid.h, smid.w, smid.c, smid.cp)
+          == (cfg_a.oh, cfg_a.ow, out_c_a, ocp_a),
+          "intermediate spec does not match cfg_a output")
+    out_c_b = cfg_b.oc1x1 if cfg_b.fuse_conv1x1 else cfg_b.oc
+    ocp_b = cfg_b.oc1x1p if cfg_b.fuse_conv1x1 else cfg_b.ocp
+    check((sout.h, sout.w, sout.c, sout.cp)
+          == (cfg_b.oh, cfg_b.ow, out_c_b, ocp_b),
+          "output spec does not match cfg_b output")
+    check(sin.iwp == smid.iwp == sout.iwp,
+          "megakernel needs one flat row stride across all three specs")
+    # column geometry: taps must fit margins; byte-shift needs |d| < 4
+    for cfg, si, so, name in ((cfg_a, sin, smid, "a"), (cfg_b, smid, sout,
+                                                        "b")):
+        check(si.col_off >= cfg.pw,
+              f"layer-{name} input col_off too small for kernel width")
+        check(si.iwp - si.col_off - si.w >= cfg.kw - 1 - cfg.pw,
+              f"layer-{name} input right margin too small")
+        ds = [si.col_off - so.col_off + kj - cfg.pw for kj in range(cfg.kw)]
+        check(all(abs(d) < 4 for d in ds),
+              f"layer-{name} column taps exceed the byte-shift range")
+    check(sin.halo >= cfg_a.ph, "input halo too small for layer a")
+    T = cfg_b.row_tile
+    check(sout.rows % T == 0, "row_tile must divide padded output rows")
+    off_top, off_bot, s2u, s1u, T2, L1 = _pair_offs(
+        cfg_a, cfg_b, sin, smid, sout, T)
+    nt = sout.rows // T
+    check(sin.rows >= L1, "input too short for one megakernel window")
+    check(off_top <= T2 and off_bot <= T2,
+          "row_tile smaller than boundary overlap")
+    if off_top or off_bot:
+        check(nt >= 2, "boundary rolls need at least two row tiles")
+    # the roll's garbage rows must land in intermediate rows the layer-a
+    # mask forces to -128 (pad rows of smid's coordinate frame)
+    if off_top:
+        check(s2u(0) + off_top <= smid.halo,
+              "top boundary garbage would reach intermediate image rows "
+              "(raise input halo or intermediate halo)")
+    if off_bot:
+        check(s2u(nt - 1) + T2 - off_bot >= smid.halo + smid.h,
+              "bottom boundary garbage would reach intermediate image rows")
+
+
+def _epilogue_u8(cfg: ConvConfig, acc, operands, mask):
+    """Layer epilogue: requant (+ fused 1x1) to centered u8, mask applied
+    at the FINAL stage so the result is a valid packed image tile."""
+    if cfg.fuse_conv1x1:
+        (w1, corr1, bias1, scale1) = operands[4:8]
+        x1 = requant_to_u8_centered(
+            acc, operands[2][...] if cfg.conv0_with_bias else None,
+            operands[3][...], cfg.conv0_round)
+        acc1 = jnp.dot(x1, w1[...], preferred_element_type=jnp.int32)
+        acc1 = acc1 + corr1[...]
+        return requant_to_u8_centered(
+            acc1, bias1[...] if cfg.conv1_with_bias else None,
+            scale1[...], cfg.conv1_round, zero_mask=mask)
+    return requant_to_u8_centered(
+        acc, operands[2][...] if cfg.conv0_with_bias else None,
+        operands[3][...], cfg.conv0_round, zero_mask=mask)
+
+
+def _tap_dot(patch, cfg: ConvConfig, si: PackedSpec, so: PackedSpec,
+             w3_ref, corr_ref, interp: bool):
+    """kw taps as input-side byte shifts, lane-concatenated into one dot
+    (the bshift1 formulation of ops/packed.py)."""
+    ds = [si.col_off - so.col_off + kj - cfg.pw for kj in range(cfg.kw)]
+    taps = [_shifted_patch(patch, d, interp) for d in ds]
+    wide = taps[0] if cfg.kw == 1 else jnp.concatenate(taps, axis=-1)
+    acc = jnp.dot(wide, w3_ref[...], preferred_element_type=jnp.int32)
+    return acc + corr_ref[...]
+
+
+def _image_mask(m, iwp, row0, spec: PackedSpec):
+    """(m, 1) f32 0/1 mask of slots inside spec's image region, for a
+    tile whose first flat row is virtual row `row0` (may be traced)."""
+    pos = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    col = pos % iwp
+    row = row0 + pos // iwp
+    return (jnp.logical_and(
+        jnp.logical_and(col >= spec.col_off, col < spec.col_off + spec.w),
+        jnp.logical_and(row >= spec.halo, row < spec.halo + spec.h))
+        ).astype(jnp.float32)
+
+
+def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
+                 sin: PackedSpec, smid: PackedSpec, sout: PackedSpec):
+    na = 8 if cfg_a.fuse_conv1x1 else 4
+    ops_a, refs = refs[:na], refs[na:]
+    nb = 8 if cfg_b.fuse_conv1x1 else 4
+    ops_b, out_ref, inter_ref = refs[:nb], refs[nb], refs[nb + 1]
+    T = cfg_b.row_tile
+    iwp = sin.iwp
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+    interp = env.interpret_kernels()
+    off_top, off_bot, s2u_f, s1u_f, T2, L1 = _pair_offs(
+        cfg_a, cfg_b, sin, smid, sout, T)
+    m, m2 = T * iwp, T2 * iwp
+    delta2 = smid.halo - sout.halo
+    delta1 = sin.halo - smid.halo
+    s2u = t * T + delta2 - cfg_b.ph          # virtual, never clamped
+    s1 = s2u + delta1 - cfg_a.ph
+    if off_top or off_bot:
+        s1 = jnp.clip(s1, 0, sin.rows - L1)
+    blocks = []
+    for ki in range(cfg_a.kh):
+        base = pl.multiple_of((s1 + ki) * iwp, 8)
+        blocks.append(src_ref[0, pl.ds(base, m2), :])
+    patch = jnp.concatenate(blocks, axis=-1)          # (m2, kh_a*icp_a)
+    if off_top or off_bot:
+        # un-shift the clamped window with a static roll (ops/packed.py
+        # boundary trick); wrapped rows land in intermediate rows the
+        # mask below forces to -128 (validate_packed_pair)
+        if interp:
+            if off_top:
+                patch = jnp.where(t == 0,
+                                  jnp.roll(patch, off_top * iwp, 0), patch)
+            if off_bot:
+                patch = jnp.where(t == nt - 1,
+                                  jnp.roll(patch, -off_bot * iwp, 0), patch)
+        else:
+            p32 = pltpu.bitcast(patch, jnp.int32)
+            mq = m2 // 4
+            if off_top:
+                p32 = jnp.where(
+                    t == 0, pltpu.roll(p32, off_top * iwp // 4, 0), p32)
+            if off_bot:
+                p32 = jnp.where(
+                    t == nt - 1,
+                    pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
+            patch = pltpu.bitcast(p32, jnp.int8)
+    acc = _tap_dot(patch, cfg_a, sin, smid, ops_a[0], ops_a[1], interp)
+    mask_mid = _image_mask(m2, iwp, s2u, smid)
+    # land the intermediate in a VMEM scratch ref: slicing layer b's
+    # row blocks out of a REF gives Mosaic the same load-fusion as the
+    # kernel inputs get, where slicing the traced VALUE materialized a
+    # copy per block/tap (measured 72.4% vs 79.7% single-op — slower
+    # than not fusing at all)
+    inter_ref[...] = _epilogue_u8(cfg_a, acc, ops_a, mask_mid)
+    # layer b consumes the VMEM-resident intermediate tile directly:
+    # its window start IS s2u, so no clamp and no roll
+    blocks_b = [inter_ref[pl.ds(ki * iwp, m), :] for ki in range(cfg_b.kh)]
+    patch_b = jnp.concatenate(blocks_b, axis=-1)      # (m, kh_b*icp_b)
+    acc_b = _tap_dot(patch_b, cfg_b, smid, sout, ops_b[0], ops_b[1], interp)
+    mask_out = _image_mask(m, iwp, t * T, sout)
+    out_ref[0] = _epilogue_u8(cfg_b, acc_b, ops_b, mask_out)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg_a", "cfg_b", "sin",
+                                             "smid", "sout"))
+def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
+               smid: PackedSpec, sout: PackedSpec, arr, *operands):
+    n = arr.shape[0]
+    T = cfg_b.row_tile
+    iwp = sin.iwp
+    T2 = T + cfg_b.kh - 1
+    m, m2 = T * iwp, T2 * iwp
+    ocp_out = cfg_b.oc1x1p if cfg_b.fuse_conv1x1 else cfg_b.ocp
+    grid = (n, sout.rows // T)
+
+    def vec(nlanes):
+        return pl.BlockSpec((1, nlanes), lambda b, t: (0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def layer_specs(cfg):
+        k_dim = cfg.kh * cfg.kw * cfg.icp
+        specs = [pl.BlockSpec((k_dim, cfg.ocp), lambda b, t: (0, 0),
+                              memory_space=pltpu.VMEM),
+                 vec(cfg.ocp), vec(cfg.ocp), vec(cfg.ocp)]
+        if cfg.fuse_conv1x1:
+            specs += [pl.BlockSpec((cfg.ocp, cfg.oc1x1p),
+                                   lambda b, t: (0, 0),
+                                   memory_space=pltpu.VMEM),
+                      vec(cfg.oc1x1p), vec(cfg.oc1x1p), vec(cfg.oc1x1p)]
+        return specs
+
+    in_specs = [pl.BlockSpec((1, sin.rows * iwp, sin.cp),
+                             lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.VMEM)]
+    in_specs += layer_specs(cfg_a) + layer_specs(cfg_b)
+    out_spec = pl.BlockSpec((1, m, ocp_out), lambda b, t: (b, t, 0),
+                            memory_space=pltpu.VMEM)
+    ocp_mid = cfg_a.oc1x1p if cfg_a.fuse_conv1x1 else cfg_a.ocp
+    scratch = [pltpu.VMEM((m2, ocp_mid), jnp.int8)]
+
+    def layer_flops(cfg, rows):
+        f = 2 * rows * cfg.kh * cfg.kw * cfg.icp * cfg.ocp
+        if cfg.fuse_conv1x1:
+            f += 2 * rows * cfg.ocp * cfg.oc1x1p
+        return f
+
+    flops = layer_flops(cfg_a, m2) + layer_flops(cfg_b, m)
+    nbytes = (sin.rows * iwp * sin.cp // max(grid[1], 1) + m * ocp_out)
+    operands = [op.reshape(1, -1) if op.ndim == 1 else op
+                for op in operands]
+    return pl.pallas_call(
+        functools.partial(_pair_kernel, cfg_a=cfg_a, cfg_b=cfg_b,
+                          sin=sin, smid=smid, sout=sout),
+        out_shape=jax.ShapeDtypeStruct(sout.array_shape(n), jnp.int8),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=scratch,
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=flops * grid[0] * grid[1],
+            bytes_accessed=nbytes * grid[0] * grid[1],
+            transcendentals=0),
+        interpret=env.interpret_kernels(),
+    )(jnp.asarray(arr), *operands)
+
+
+class PackedConvPairOp:
+    """Two chained fused convs in one Pallas program (module docstring).
+
+    Usage::
+
+        pair = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                                cfg_b, (wb, bb, wb1, bb1))
+        x = pack_image(src_u8, pair.sin)
+        y = pair(x)          # == conv_b(conv_a(x)), one kernel launch
+
+    Bit-identical to running the two ``PackedConvOp``s sequentially with
+    ``halo_out`` chosen as ``pair.smid.halo`` (tests/test_mega.py).
+    """
+
+    def __init__(self, cfg_a: ConvConfig, weights_a, cfg_b: ConvConfig,
+                 weights_b, sin: PackedSpec = None,
+                 halo_out: int = None, col_off_out: int = None,
+                 halo_mid: int = None, row_tile: int = None):
+        from . import layout
+        cfg_a = _narrow_cfg(cfg_a)
+        cfg_b = _narrow_cfg(cfg_b)
+        if sin is None:
+            sin = PackedSpec.make(cfg_a.ih, cfg_a.iw, cfg_a.ic,
+                                  cp=cfg_a.icp, halo=max(cfg_a.ph, 1),
+                                  col_off=max(cfg_a.pw, 1))
+        if halo_out is None:
+            halo_out = sin.halo        # self-chain-friendly default
+        if col_off_out is None:
+            col_off_out = sin.col_off
+        if halo_mid is None:
+            halo_mid = max(cfg_b.ph, 1)
+        out_c_a = cfg_a.oc1x1 if cfg_a.fuse_conv1x1 else cfg_a.oc
+        ocp_a = cfg_a.oc1x1p if cfg_a.fuse_conv1x1 else cfg_a.ocp
+        smid = PackedSpec(h=cfg_a.oh, w=cfg_a.ow, c=out_c_a, cp=ocp_a,
+                          halo=halo_mid, col_off=sin.col_off, iwp=sin.iwp)
+        out_c_b = cfg_b.oc1x1 if cfg_b.fuse_conv1x1 else cfg_b.oc
+        ocp_b = cfg_b.oc1x1p if cfg_b.fuse_conv1x1 else cfg_b.ocp
+        sout = PackedSpec(h=cfg_b.oh, w=cfg_b.ow, c=out_c_b, cp=ocp_b,
+                          halo=halo_out, col_off=col_off_out, iwp=sin.iwp)
+        # largest legal row tile: divides padded output rows, M <= 8192,
+        # and the two wide tap patches (the dominant VMEM buffers) fit a
+        # 40 MB budget; >= 2 tiles when boundary rolls engage
+        kda = cfg_a.kh * cfg_a.kw * cfg_a.icp
+        kdb = cfg_b.kh * cfg_b.kw * cfg_b.icp
+        budget = 40 * 2 ** 20
+        cands = []
+        for d in range(1, sout.rows + 1):
+            if sout.rows % d:
+                continue
+            m, m2 = d * sin.iwp, (d + cfg_b.kh - 1) * sin.iwp
+            if m > 8192 or m2 * kda + m * kdb > budget:
+                continue
+            cfg_b_t = dataclasses.replace(cfg_b, row_tile=d)
+            off_top, off_bot, _, _, T2, L1 = _pair_offs(
+                cfg_a, cfg_b_t, sin, smid, sout, d)
+            if sin.rows < L1 or off_top > T2 or off_bot > T2:
+                continue
+            if (off_top or off_bot) and sout.rows // d < 2:
+                continue
+            cands.append(d)
+        check(bool(cands), "no legal row_tile for megakernel geometry")
+        if row_tile is not None:
+            check(row_tile in cands,
+                  f"row_tile {row_tile} not legal (candidates: {cands})")
+        cfg_b = dataclasses.replace(cfg_b,
+                                    row_tile=row_tile or cands[-1])
+        validate_packed_pair(cfg_a, cfg_b, sin, smid, sout)
+        self.cfg_a, self.cfg_b = cfg_a, cfg_b
+        self.sin, self.smid, self.sout = sin, smid, sout
+        self._cache = OperandCache(
+            self._pack_layer(cfg_a, weights_a)
+            + self._pack_layer(cfg_b, weights_b))
+
+    @staticmethod
+    def _pack_layer(cfg: ConvConfig, weights):
+        from . import layout
+        wei, bia, wei1x1, bia1x1 = (tuple(weights) + (None, None))[:4]
+        packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
+        packed["scale0"][cfg.oc:] = 0.0
+        keys = ["w3", "corr0", "bias0", "scale0"]
+        if cfg.fuse_conv1x1:
+            packed["scale1"][cfg.oc1x1:] = 0.0
+            keys += ["w1", "corr1", "bias1", "scale1"]
+        return [packed[k] for k in keys]
+
+    @property
+    def _operands(self):
+        return self._cache.host
+
+    def pack_input(self, src_u8, xp=np):
+        return pack_image(src_u8, self.sin, xp=xp)
+
+    def __call__(self, packed_arr):
+        arr = jnp.asarray(packed_arr)
+        check(arr.shape == self.sin.array_shape(arr.shape[0]),
+              "input does not match the op's packed spec")
+        return _pair_call(self.cfg_a, self.cfg_b, self.sin, self.smid,
+                          self.sout, arr, *self._cache.for_call(arr))

@@ -38,32 +38,69 @@ shard_map = jax.shard_map
 
 # ------------------------------------------------------------------ DP
 
-def dp_shard(conv_op, mesh: Mesh, axis: str = "dp"):
-    """Wrap a ConvOp so the batch dim is sharded over `axis`.
+def _rebatched_op(op, bs: int):
+    """Shallow clone of `op` whose configs carry the per-shard batch (the
+    packed operand cache is shared — weights are replicated)."""
+    import copy
+    from ..ops.conv import ConvOp
+    from ..ops.convpool import ConvPoolOp
+    from ..ops.packed import PackedConvOp
+    clone = copy.copy(op)
+    if isinstance(op, ConvOp):
+        clone.cfg = _rebatch(op.cfg, bs)
+        clone.cfg2 = None if op.cfg2 is None else _rebatch(op.cfg2, bs)
+    elif isinstance(op, ConvPoolOp):
+        clone.cfg = _rebatch(op.cfg, bs)
+        clone.cfg_orig = _rebatch(op.cfg_orig, bs)
+    elif isinstance(op, PackedConvOp):
+        pass                    # batch derived from the array shape
+    else:
+        check(False, f"dp_shard does not support {type(op).__name__}")
+    return clone
 
-    Weights are replicated; no collectives — the TPU analogue of the
-    reference's OpenMP split over the batch dim (src/op_conv.cc:39-47).
+
+def dp_shard(op, mesh: Mesh, axis: str = "dp"):
+    """Wrap an op so the batch dim is sharded over `axis`.
+
+    Supports every repeated-submission op family — ``ConvOp`` (incl.
+    strided s2d and sum post-op configs), ``ConvPoolOp``, and
+    ``PackedConvOp`` (incl. multi-input branch merges and packed sum
+    operands). Weights are replicated; no collectives — the TPU analogue
+    of the reference's OpenMP split over the batch dim
+    (src/op_conv.cc:39-47). The returned callable takes the op's usual
+    arguments (``src`` and, for sum configs, ``sum_src``), each sharded
+    on the batch dim.
     """
-    cfg = conv_op.cfg
+    from ..ops.packed import PackedConvOp
+    cfg = op.cfg
     n_shard = mesh.shape[axis]
     check(cfg.bs % n_shard == 0, f"batch {cfg.bs} not divisible by {axis}")
-    local_cfg = _rebatch(cfg, cfg.bs // n_shard)
-    # strided ops carry s2d-packed operands; route through the s2d call
-    local_cfg2 = None if conv_op.cfg2 is None \
-        else _rebatch(conv_op.cfg2, cfg.bs // n_shard)
+    local = _rebatched_op(op, cfg.bs // n_shard)
+    packed = isinstance(op, PackedConvOp)
+    n_in = len(op.sins) if packed else 1
+    has_sum = op.ssum is not None if packed else cfg.with_sum
+    rank = 3 if packed else 4           # packed arrays are (n, rows*iwp, cp)
+    spec = P(axis, *([None] * (rank - 1)))
 
-    def local_fn(src, *operands):
-        if local_cfg2 is not None:
-            return _conv_call_s2d(local_cfg, local_cfg2, src, *operands)
-        return _conv_call(local_cfg, src, *operands)
+    def local_fn(*args):
+        srcs, args = args[:n_in], args[n_in:]
+        src = srcs if n_in > 1 else srcs[0]
+        if has_sum:
+            return (local(src, args[0]) if packed
+                    else local(src, sum_src=args[0]))
+        return local(src)
 
-    spec_in = (P(axis, None, None, None),) + tuple(
-        P(None) for _ in conv_op._operands)
-    fn = shard_map(local_fn, mesh=mesh, in_specs=spec_in,
-                   out_specs=P(axis, None, None, None), check_vma=False)
+    n_args = n_in + (1 if has_sum else 0)
+    fn = shard_map(local_fn, mesh=mesh, in_specs=(spec,) * n_args,
+                   out_specs=spec, check_vma=False)
 
-    def run(src):
-        return fn(jnp.asarray(src), *conv_op._operands)
+    def run(src, sum_src=None):
+        check((sum_src is not None) == has_sum,
+              "pass sum_src exactly when the op has a sum post-op")
+        srcs = tuple(jnp.asarray(s) for s in src) if n_in > 1 \
+            else (jnp.asarray(src),)
+        extra = (jnp.asarray(sum_src),) if has_sum else ()
+        return fn(*srcs, *extra)
 
     return jax.jit(run)
 
@@ -238,23 +275,45 @@ def sp_conv(conv_op, mesh: Mesh, axis: str = "sp",
     dp_axis: optionally also shard the batch dim over a second mesh axis
     (pure data parallelism composed with the halo exchange — the production
     dp x sp configuration exercised by ``__graft_entry__.dryrun_multichip``).
+
+    Sum post-op configs are supported (the sum operand shards over H with
+    the output; requires oh == ih so shard boundaries align). Pooled and
+    packed op families fail fast — batch-shard those with ``dp_shard``.
     """
+    from ..ops.conv import ConvOp
+    check(type(conv_op) is ConvOp,
+          f"sp_conv supports ConvOp (got {type(conv_op).__name__}); "
+          "spatially sharding pooled/packed ops is not implemented — "
+          "use dp_shard for those families")
     cfg = conv_op.cfg
     n_shard = mesh.shape[axis]
     check_eq(cfg.sh, 1, "sp_conv requires stride_h == 1")
     check(cfg.ih % n_shard == 0, f"ih {cfg.ih} not divisible by {axis}")
+    with_sum = cfg.with_sum
+    if with_sum:
+        check_eq(cfg.oh, cfg.ih, "sp_conv with a sum post-op requires "
+                                 "oh == ih (aligned shard boundaries)")
     ih_l = cfg.ih // n_shard
     ph = cfg.ph
     kb = cfg.kh - 1 - ph          # halo rows needed from below
     check(ih_l >= cfg.kh - 1, "shard too thin for the kernel height")
     from ..ops.layout import s2d_cfg
 
-    def conv_slab(pcfg, src, operands):
+    def conv_slab(pcfg, src, operands, sum_slab=None):
+        kw = {} if sum_slab is None else dict(sum_src=sum_slab)
         if pcfg.sh > 1 or pcfg.sw > 1:
-            return _conv_call_s2d(pcfg, s2d_cfg(pcfg), src, *operands)
-        return _conv_call(pcfg, src, *operands)
+            return _conv_call_s2d(pcfg, s2d_cfg(pcfg), src, *operands, **kw)
+        return _conv_call(pcfg, src, *operands, **kw)
 
-    def local_fn(src, *operands):
+    def local_fn(src, *rest):
+        if with_sum:
+            sum_l, operands = rest[0], rest[1:]
+        else:
+            sum_l, operands = None, rest
+
+        def sum_rows(lo, hi):
+            return None if sum_l is None else sum_l[:, lo:hi]
+
         # src: (n, ih_l, iw, ic) local rows, u8
         idx = jax.lax.axis_index(axis)
         fwd = [(i, (i + 1) % n_shard) for i in range(n_shard)]
@@ -270,20 +329,21 @@ def sp_conv(conv_op, mesh: Mesh, axis: str = "sp",
         # 2. interior: output rows [ph, ih_l - kb) from local rows alone
         mid_cfg = replace_geometry(cfg, ph=0, ih=ih_l,
                                    oh=ih_l - cfg.kh + 1, bs=src.shape[0])
-        mid = conv_slab(mid_cfg, src, operands)
+        mid = conv_slab(mid_cfg, src, operands, sum_rows(ph, ih_l - kb))
         outs = []
         # 3. boundary rows once the halos land
         if ph > 0:
             slab = jnp.concatenate([top, src[:, :cfg.kh - 1]], axis=1)
             top_cfg = replace_geometry(cfg, ph=0, ih=ph + cfg.kh - 1,
                                        oh=ph, bs=src.shape[0])
-            outs.append(conv_slab(top_cfg, slab, operands))
+            outs.append(conv_slab(top_cfg, slab, operands, sum_rows(0, ph)))
         outs.append(mid)
         if kb > 0:
             slab = jnp.concatenate([src[:, -(cfg.kh - 1):], bot], axis=1)
             bot_cfg = replace_geometry(cfg, ph=0, ih=kb + cfg.kh - 1,
                                        oh=kb, bs=src.shape[0])
-            outs.append(conv_slab(bot_cfg, slab, operands))
+            outs.append(conv_slab(bot_cfg, slab, operands,
+                                  sum_rows(ih_l - kb, ih_l)))
         # 4. stitch: ih_l output rows per shard
         return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
@@ -291,12 +351,17 @@ def sp_conv(conv_op, mesh: Mesh, axis: str = "sp",
         check(cfg.bs % mesh.shape[dp_axis] == 0,
               f"batch {cfg.bs} not divisible by {dp_axis}")
     img_spec = P(dp_axis, axis, None, None)
-    spec_in = (img_spec,) + tuple(P(None) for _ in conv_op._operands)
+    n_img = 2 if with_sum else 1
+    spec_in = (img_spec,) * n_img + tuple(
+        P(None) for _ in conv_op._operands)
     fn = shard_map(local_fn, mesh=mesh, in_specs=spec_in,
                    out_specs=img_spec, check_vma=False)
 
-    def run(src):
-        out = fn(jnp.asarray(src), *conv_op._operands)
+    def run(src, sum_src=None):
+        check((sum_src is not None) == with_sum,
+              "pass sum_src exactly when the op has a sum post-op")
+        extra = (jnp.asarray(sum_src),) if with_sum else ()
+        out = fn(jnp.asarray(src), *extra, *conv_op._operands)
         # shards compute n*ih_l = ih rows; the true output is the first oh
         # (extra bottom rows read only the zero-extended edge)
         return out[:, :cfg.oh]

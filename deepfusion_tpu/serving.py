@@ -8,70 +8,102 @@ keeping the chip's batch dimension full. Fixed batch => one compiled
 executable (XLA static shapes); short tails are padded and the padding
 rows discarded.
 
-Work splitting across model replicas (if >1 worker) reuses ``balance211``
-(util/deepfusion_utils.h:190-208 — same splitter the reference uses for
-OpenMP threads, applied at request granularity).
+Multi-replica serving: pass one model callable per replica (e.g. the same
+model jitted onto different devices, or dp-sharded sub-meshes). Each
+replica gets its own queue + worker thread; ``submit`` feeds the least
+loaded queue, and ``submit_many`` splits a burst across replicas with
+``balance211`` (util/deepfusion_utils.h:190-208 — the same near-equal
+splitter the reference uses for OpenMP threads, applied at request
+granularity).
 """
 from __future__ import annotations
 
 import queue
 import threading
 from concurrent.futures import Future
-from typing import Callable, Sequence
+from typing import Callable, Sequence, Union
 
 import numpy as np
 
 from .utils.logger import check, info
+from .utils.mathutil import balance211
 
 
 class BatchServer:
-    """Continuous batcher over a fixed-batch model callable.
+    """Continuous batcher over fixed-batch model callable(s).
 
-    model_fn: callable taking a (batch, ...) u8 array, returning (batch, ...)
+    model_fn: one callable — or a sequence of callables, one per replica —
+        taking a (batch, ...) u8 array and returning (batch, ...)
     batch: the compiled batch size (requests are padded up to it)
     max_delay_ms: max time a request waits for batch-mates before a
         partial (padded) flush
     """
 
-    def __init__(self, model_fn: Callable, batch: int, input_shape,
+    def __init__(self, model_fn: Union[Callable, Sequence[Callable]],
+                 batch: int, input_shape,
                  max_delay_ms: float = 2.0, input_dtype=np.uint8):
         check(batch >= 1, "batch must be >= 1")
-        self._fn = model_fn
+        self._fns = list(model_fn) if isinstance(model_fn, (list, tuple)) \
+            else [model_fn]
+        check(len(self._fns) >= 1, "need at least one model replica")
         self._batch = batch
         self._in_shape = tuple(input_shape)
         self._in_dtype = np.dtype(input_dtype)
         self._delay = max_delay_ms / 1e3
-        self._q: "queue.Queue" = queue.Queue()
+        self._qs = [queue.Queue() for _ in self._fns]
         self._stop = threading.Event()
-        self._worker = threading.Thread(target=self._run, daemon=True)
+        self._workers = [
+            threading.Thread(target=self._run, args=(r,), daemon=True)
+            for r in range(len(self._fns))]
         self._started = False
-        self.stats = {"requests": 0, "flushes": 0, "padded_rows": 0}
+        self.stats = {"requests": 0, "flushes": 0, "padded_rows": 0,
+                      "per_replica": [0] * len(self._fns)}
+
+    @property
+    def n_replicas(self) -> int:
+        return len(self._fns)
 
     # ------------------------------------------------------------- API
 
     def start(self):
         if not self._started:
-            self._worker.start()
+            for w in self._workers:
+                w.start()
             self._started = True
         return self
 
-    def submit(self, x: np.ndarray) -> Future:
-        """Enqueue one request (a single example, shape == input_shape)."""
+    def _enqueue(self, x: np.ndarray, replica: int) -> Future:
         x = np.asarray(x, dtype=self._in_dtype)
         check(tuple(x.shape) == self._in_shape,
               f"request shape {x.shape} != {self._in_shape}")
         fut: Future = Future()
-        self._q.put((x, fut))
+        self._qs[replica].put((x, fut))
         self.stats["requests"] += 1
+        self.stats["per_replica"][replica] += 1
         return fut
 
+    def submit(self, x: np.ndarray) -> Future:
+        """Enqueue one request (a single example, shape == input_shape) on
+        the least-loaded replica."""
+        replica = min(range(len(self._qs)),
+                      key=lambda r: self._qs[r].qsize())
+        return self._enqueue(x, replica)
+
     def submit_many(self, xs: Sequence[np.ndarray]):
-        return [self.submit(x) for x in xs]
+        """Enqueue a burst, split near-equally across replicas with
+        balance211 (chunk r gets the contiguous [start, end) slice)."""
+        futs: list = [None] * len(xs)
+        for r in range(len(self._fns)):
+            start, end = balance211(len(xs), len(self._fns), r)
+            for i in range(start, end):
+                futs[i] = self._enqueue(xs[i], r)
+        return futs
 
     def close(self):
         self._stop.set()
         if self._started:
-            self._worker.join(timeout=5)
+            for w in self._workers:
+                w.join(timeout=5)
 
     def __enter__(self):
         return self.start()
@@ -81,24 +113,25 @@ class BatchServer:
 
     # ---------------------------------------------------------- worker
 
-    def _gather(self):
+    def _gather(self, q):
         """Collect up to `batch` requests, waiting at most max_delay for
         stragglers after the first arrival."""
         items = []
         try:
-            items.append(self._q.get(timeout=0.05))
+            items.append(q.get(timeout=0.05))
         except queue.Empty:
             return items
         while len(items) < self._batch:
             try:
-                items.append(self._q.get(timeout=self._delay))
+                items.append(q.get(timeout=self._delay))
             except queue.Empty:
                 break
         return items
 
-    def _run(self):
-        while not self._stop.is_set() or not self._q.empty():
-            items = self._gather()
+    def _run(self, replica: int):
+        fn, q = self._fns[replica], self._qs[replica]
+        while not self._stop.is_set() or not q.empty():
+            items = self._gather(q)
             if not items:
                 continue
             xs = np.stack([x for x, _ in items])
@@ -108,7 +141,7 @@ class BatchServer:
                     [xs, np.zeros((pad,) + self._in_shape, self._in_dtype)])
                 self.stats["padded_rows"] += pad
             try:
-                out = np.asarray(self._fn(xs))
+                out = np.asarray(fn(xs))
             except Exception as e:  # propagate to all waiters
                 for _, fut in items:
                     fut.set_exception(e)
@@ -116,4 +149,5 @@ class BatchServer:
             self.stats["flushes"] += 1
             for i, (_, fut) in enumerate(items):
                 fut.set_result(out[i])
-        info("batch server drained: %s", self.stats)
+        if replica == 0:
+            info("batch server drained: %s", self.stats)

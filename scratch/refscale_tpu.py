@@ -50,6 +50,13 @@ def main():
     ap.add_argument("--iters", type=int, default=24)
     ap.add_argument("--fast", action="store_true", help="skip benches")
     ap.add_argument("--case", default=None, help="run one case by name")
+    ap.add_argument("--composed", action="store_true",
+                    help="resnet_stem: measure the ConvOp + separate pool "
+                         "composition instead of the fused ConvPoolOp")
+    ap.add_argument("--packed", action="store_true",
+                    help="vgg blocks: run the packed-domain formulation "
+                         "(PackedConvOp + packed_maxpool2) instead of the "
+                         "dense ConvPoolOp")
     args = ap.parse_args()
 
     import bench
@@ -72,7 +79,7 @@ def main():
         # can't feed their output back); see bench.bench_conv's chain note
         def step(x):
             out = fn(x)
-            b = (out.reshape(-1)[0].astype(jnp.int32) & 1).astype(jnp.uint8)
+            b = (out.reshape(-1)[0].astype(jnp.int32) & 1).astype(x.dtype)
             return x + b
         return step
 
@@ -100,20 +107,41 @@ def main():
                               (1, 1), (1, 1), (n, ih, ih, oc), "u8",
                               conv0_relu=True, conv0_scales=(0.004,))
         pc = PoolConfig.make("max", (ih, ih), (2, 2), (2, 2), (0, 0))
-        assert pool2_fusable(cfg, pc)
-        op = ConvPoolOp(cfg, pc, wei, bia)
-        x = jax.device_put(src)
-        got = np.asarray(op(x))
-        expect(got, pool_ref(conv_ref(cfg, src, wei, bia), pc), tag)
+        want = pool_ref(conv_ref(cfg, src, wei, bia), pc)
+        if args.packed:
+            # packed-domain formulation (VERDICT r3 #3a): byte-shift
+            # single-dot conv kernel + packed_maxpool2, no per-op prep
+            from deepfusion_tpu.ops.packed import (PackedConvOp,
+                                                   packed_maxpool2,
+                                                   pack_image,
+                                                   unpack_image)
+            pop = PackedConvOp(cfg, wei, bia, col_off_out=2, halo_out=2)
+            x = jax.device_put(pack_image(src, pop.sin))
+
+            def fn(z):
+                return packed_maxpool2(pop(z), pop.sout)[0]
+
+            out_spec = packed_maxpool2(
+                np.full(pop.sout.array_shape(1), -128, np.int8),
+                pop.sout)[1]
+            tag = tag + "_packed"
+            got = unpack_image(np.asarray(jax.jit(fn)(x)), out_spec)
+        else:
+            fn = ConvPoolOp(cfg, pc, wei, bia)
+            x = jax.device_put(src)
+            got = np.asarray(fn(x))
+        expect(got, want, tag)
         if not args.fast:
             macs = n * ih * ih * 9 * ic * oc
-            bench_line(bump_step(op), x, macs, n, tag,
+            bench_line(bump_step(fn), x, macs, n, tag,
                        args.iters * iscale, results)
 
     # ---- ResNet stem: 50x3x224x224, conv7x7/s2 p3 + relu -> maxpool2x2/s2
-    # (test_conv_relu_pooling.cc:332-333). The strided conv runs the s2d
-    # Pallas lowering (ops/layout.py); pool2 is not conv-fusable under
-    # stride so it composes under the same jit.
+    # (test_conv_relu_pooling.cc:332-333). Since dafe056, strided convs
+    # are pool2-fusable via the s2d lowering: the default path is the
+    # single-kernel ConvPoolOp (the conv output never exists in HBM);
+    # --composed measures the old ConvOp + pool composition for the
+    # decomposition row.
     if args.case in (None, "resnet_stem"):
         n, ic, ih, oc = 50, 3, 224, 64
         oh = conv_output_size(ih, 7, 2, 3)  # 112
@@ -124,15 +152,22 @@ def main():
                               (2, 2), (3, 3), (n, oh, oh, oc), "u8",
                               conv0_relu=True, conv0_scales=(0.002,))
         pc = PoolConfig.make("max", (oh, oh), (2, 2), (2, 2), (0, 0))
-        op = ConvOp(cfg, wei, bia)
-        stem = jax.jit(lambda s: pool(op(s), "max", (2, 2), (2, 2), (0, 0)))
+        if getattr(args, "composed", False):
+            op = ConvOp(cfg, wei, bia)
+            stem = jax.jit(
+                lambda s: pool(op(s), "max", (2, 2), (2, 2), (0, 0)))
+            tag = "resnet_stem_composed"
+        else:
+            assert pool2_fusable(cfg, pc)
+            stem = ConvPoolOp(cfg, pc, wei, bia)
+            tag = "resnet_stem"
         x = jax.device_put(src)
         got = np.asarray(stem(x))
         expect(got, pool_ref(conv_ref(cfg, src, wei, bia), pc),
-               "resnet_stem 7x7/s2+pool")
+               f"{tag} 7x7/s2+pool")
         if not args.fast:
             macs = n * oh * oh * 49 * ic * oc
-            bench_line(bump_step(stem), x, macs, n, "resnet_stem",
+            bench_line(bump_step(stem), x, macs, n, tag,
                        args.iters, results)
 
     # ---- ResNet head: 50x2048x7x7 conv1x1 + relu -> global avg-pool 7x7
@@ -160,9 +195,12 @@ def main():
                        args.iters * 4, results)
 
     if results:
+        suffix = "_packed" if args.packed else \
+            ("_composed" if args.composed else "")
         path = os.path.join(os.path.dirname(os.path.dirname(
-            os.path.abspath(__file__))), "artifacts", "REFSCALE_r03.json")
-        with open(path, "w") as f:
+            os.path.abspath(__file__))), "artifacts",
+            f"REFSCALE_r04{suffix}.json")
+        with open(path, "a") as f:
             for line in results:
                 f.write(json.dumps(line) + "\n")
         print(f"wrote {path}")

@@ -1,0 +1,142 @@
+"""Two-layer megakernel (PackedConvPairOp) differential tests.
+
+The megakernel must be bit-identical to running the two fused convs as
+sequential PackedConvOps with the pair's intermediate spec — the
+sequential ops are themselves oracle-tested against the reference
+semantics (tests/test_packed.py), so equality here chains the oracle
+through the VMEM-resident intermediate.
+"""
+import numpy as np
+import pytest
+
+from deepfusion_tpu.config import ConvConfig
+from deepfusion_tpu.ops.mega import PackedConvPairOp, validate_packed_pair
+from deepfusion_tpu.ops.packed import (PackedConvOp, PackedSpec, pack_image,
+                                       unpack_image)
+from deepfusion_tpu.utils.logger import CheckError
+from deepfusion_tpu.utils.mathutil import conv_output_size
+
+from helpers import fill_data
+from test_packed import build_cfg
+
+
+def _pair_and_seq(cfg_a, wts_a, cfg_b, wts_b, **kw):
+    pair = PackedConvPairOp(cfg_a, wts_a, cfg_b, wts_b, **kw)
+    op_a = PackedConvOp(cfg_a, *wts_a, sin=pair.sin,
+                        halo_out=pair.smid.halo,
+                        col_off_out=pair.smid.col_off)
+    assert op_a.sout == pair.smid
+    op_b = PackedConvOp(cfg_b, *wts_b, sin=pair.smid,
+                        halo_out=pair.sout.halo,
+                        col_off_out=pair.sout.col_off)
+    assert op_b.sout == pair.sout
+    return pair, op_a, op_b
+
+
+def _check_match(pair, op_a, op_b, src):
+    x = pack_image(src, pair.sin)
+    got = np.asarray(pair(x))
+    want = np.asarray(op_b(op_a(x)))
+    np.testing.assert_array_equal(got, want)
+    # and the output is a valid packed image: non-image slots all -128
+    s = pair.sout
+    img = got.reshape(got.shape[0], s.rows, s.iwp, s.cp)
+    assert (img[:, :s.halo] == -128).all()
+    assert (img[:, s.halo + s.h:] == -128).all()
+    assert (img[:, :, :s.col_off] == -128).all()
+    assert (img[:, :, s.col_off + s.w:] == -128).all()
+
+
+@pytest.mark.parametrize("fused_a,fused_b", [(True, True), (True, False),
+                                             (False, True), (False, False)])
+def test_pair_matches_sequential(fused_a, fused_b, rng):
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(
+        2, 32, hw, 32, 1, oc1=32 if fused_a else None, rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(
+        2, 32, hw, 32, 1, oc1=32 if fused_b else None, rng=rng)
+    pair, op_a, op_b = _pair_and_seq(
+        cfg_a, (wa, ba, wa1, ba1), cfg_b, (wb, bb, wb1, bb1))
+    _check_match(pair, op_a, op_b, src)
+
+
+def test_pair_channel_change(rng):
+    """a: 32 -> 3x3:48 -> 1x1:64; b: 64 -> 3x3:32 -> 1x1:32."""
+    hw = 10
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(1, 32, hw, 48, 1, oc1=64,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(1, 64, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    pair, op_a, op_b = _pair_and_seq(
+        cfg_a, (wa, ba, wa1, ba1), cfg_b, (wb, bb, wb1, bb1))
+    _check_match(pair, op_a, op_b, src)
+
+
+def test_pair_round_modes_and_per_oc_scales(rng):
+    from deepfusion_tpu.types import round_mode
+    import dataclasses
+    hw = 12
+    sc0 = tuple(float(s) for s in 0.01 + 0.001 * np.arange(32))
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(2, 32, hw, 32, 1, oc1=32,
+                                             rng=rng, scales0=sc0)
+    cfg_a = dataclasses.replace(cfg_a, conv0_round=round_mode.down)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(2, 32, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    cfg_b = dataclasses.replace(cfg_b, conv1_round=round_mode.down)
+    pair, op_a, op_b = _pair_and_seq(
+        cfg_a, (wa, ba, wa1, ba1), cfg_b, (wb, bb, wb1, bb1))
+    _check_match(pair, op_a, op_b, src)
+
+
+def test_pair_deep_input_halo(rng):
+    """halo-erosion style chaining: deeper input halo, shallower output."""
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=3, col_off=1)
+    pair, op_a, op_b = _pair_and_seq(
+        cfg_a, (wa, ba, wa1, ba1), cfg_b, (wb, bb, wb1, bb1),
+        sin=sin, halo_out=1)
+    # deep enough input halo removes the boundary rolls entirely
+    from deepfusion_tpu.ops.mega import _pair_offs
+    off_top, off_bot, *_ = _pair_offs(pair.cfg_a, pair.cfg_b, pair.sin,
+                                      pair.smid, pair.sout,
+                                      pair.cfg_b.row_tile)
+    assert off_top == 0 and off_bot == 0
+    _check_match(pair, op_a, op_b, src)
+
+
+def test_pair_self_chain(rng):
+    """sin == sout geometry: the op chains with itself (the bench shape)."""
+    hw = 12
+    cfg, src, w, b, w1, b1 = build_cfg(1, 32, hw, 32, 1, oc1=32, rng=rng)
+    cfg2, _, w2, b2, w21, b21 = build_cfg(1, 32, hw, 32, 1, oc1=32, rng=rng)
+    pair, op_a, op_b = _pair_and_seq(
+        cfg, (w, b, w1, b1), cfg2, (w2, b2, w21, b21))
+    assert (pair.sin.h, pair.sin.w, pair.sin.c, pair.sin.cp, pair.sin.halo,
+            pair.sin.col_off, pair.sin.iwp) == \
+           (pair.sout.h, pair.sout.w, pair.sout.c, pair.sout.cp,
+            pair.sout.halo, pair.sout.col_off, pair.sout.iwp)
+    x = pack_image(src, pair.sin)
+    y = pair(pair(x))          # two megakernel launches = four convs
+    want = op_b(op_a(op_b(op_a(x))))
+    np.testing.assert_array_equal(np.asarray(y), np.asarray(want))
+
+
+def test_pair_validation_fail_fast(rng):
+    cfg_a, _, wa, ba, wa1, ba1 = build_cfg(1, 32, 12, 32, 1, oc1=32,
+                                           rng=rng)
+    # channel mismatch: b expects 64 input channels
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(1, 64, 12, 32, 1, oc1=32,
+                                           rng=rng)
+    with pytest.raises(CheckError):
+        PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                         cfg_b, (wb, bb, wb1, bb1))
+    # strided cfg rejected
+    cfg_s = ConvConfig.make((1, 12, 12, 32), (32, 32, 3, 3), None, (2, 2),
+                            (1, 1), (1, 6, 6, 32), "u8",
+                            conv0_scales=(0.02,))
+    with pytest.raises(CheckError):
+        PackedConvPairOp(cfg_s, (wa, None), cfg_s, (wa, None))

@@ -203,3 +203,60 @@ def test_convpool_strided_single_kernel(shape, rng):
     out = ConvPoolOp(cfg, pc, wei, bia)(src)
     compare(out, pool_ref(conv_ref(cfg, src, wei, bia), pc),
             f"strided convpool {shape}")
+
+
+def test_convpool_strided_with_sum_and_save_load(tmp_path, rng):
+    """Strided convpool with BOTH newly-admitted extras (ADVICE r3): the
+    sum post-op (its operand aligns on the s2d iwp) and a save/load
+    round-trip (the s2d/evenness kernel cfg rebuilds from the ORIGINAL
+    strided config on load)."""
+    from deepfusion_tpu.ops.convpool import ConvPoolOp, pool2_fusable
+    n, ic, ih, oc, kh, ph, sh = 1, 16, 24, 32, 3, 1, 2
+    src = fill_data((n, ih, ih, ic), "u8", rng)
+    wei = fill_data((oc, ic, kh, kh), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    oh = conv_output_size(ih, kh, sh, ph)
+    cfg = ConvConfig.make((n, ih, ih, ic), (oc, ic, kh, kh), bia.dtype,
+                          (sh, sh), (ph, ph), (n, oh, oh, oc), "u8",
+                          conv0_relu=True, conv0_scales=(0.05,),
+                          sum_dt="u8", sum_scale=0.5)
+    pc = PoolConfig.make("max", (oh, oh), (2, 2), (2, 2), (0, 0))
+    assert pool2_fusable(cfg, pc)
+    sum_src = fill_data((n, oh, oh, oc), "u8", rng)
+    op = ConvPoolOp(cfg, pc, wei, bia)
+    want = pool_ref(conv_ref(cfg, src, wei, bia, sum_src=sum_src), pc)
+    compare(op(src, sum_src=sum_src), want, "strided convpool + sum")
+    path = str(tmp_path / "cp_strided.npz")
+    op.save(path)
+    reloaded = ConvPoolOp.load(path)
+    assert reloaded.cfg == op.cfg and reloaded.cfg_orig == op.cfg_orig
+    compare(reloaded(src, sum_src=sum_src), want,
+            "strided convpool + sum after load")
+
+
+def test_pool2_fusable_rejects_vmem_infeasible():
+    """A strided config whose s2d icp explodes past the un-chunked VMEM
+    budget must compose two kernels, not compile a thrashing fusion
+    (ADVICE r3: _kernel_cfg used to force ic_chunks=1 blindly)."""
+    from deepfusion_tpu.ops.convpool import (_even_tile_unchunked,
+                                             pool2_fusable)
+    import os
+    n, ic, ih, oc, kh, ph, sh = 1, 512, 28, 512, 3, 1, 2
+    oh = conv_output_size(ih, kh, sh, ph)
+    cfg = ConvConfig.make((n, ih, ih, ic), (oc, ic, kh, kh), "s32",
+                          (sh, sh), (ph, ph), (n, oh, oh, oc), "u8",
+                          conv0_relu=True, conv0_scales=(0.05,))
+    pc = PoolConfig.make("max", (oh, oh), (2, 2), (2, 2), (0, 0))
+    # under a deliberately tiny budget the s2d config (icp = 512*4) has no
+    # feasible even un-chunked tile -> not fusable; generous budget -> is
+    old = os.environ.get("DF_VMEM_BUDGET")
+    try:
+        os.environ["DF_VMEM_BUDGET"] = str(4 * 2 ** 20)
+        assert not pool2_fusable(cfg, pc)
+        os.environ["DF_VMEM_BUDGET"] = str(512 * 2 ** 20)
+        assert pool2_fusable(cfg, pc)
+    finally:
+        if old is None:
+            os.environ.pop("DF_VMEM_BUDGET", None)
+        else:
+            os.environ["DF_VMEM_BUDGET"] = old

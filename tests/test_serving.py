@@ -63,3 +63,40 @@ def test_with_fusionnet():
     assert all(o.shape == (16,) for o in outs)
     # identical inputs -> identical logits regardless of batch slot
     assert np.array_equal(outs[0], outs[5])
+
+
+def test_multi_replica_balance211_split():
+    """A burst splits near-equally across replicas via balance211, every
+    result lands on the right future, and both replicas do real work."""
+    calls = {0: 0, 1: 0}
+
+    def replica(r):
+        def fn(xs):
+            calls[r] += 1
+            return xs.astype(np.int32) * 2
+        return fn
+
+    srv = BatchServer([replica(0), replica(1)], batch=2, input_shape=(3,),
+                      max_delay_ms=1.0)
+    assert srv.n_replicas == 2
+    with srv:
+        xs = [np.full((3,), i, np.uint8) for i in range(10)]
+        outs = [f.result(timeout=30) for f in srv.submit_many(xs)]
+    for i, o in enumerate(outs):
+        np.testing.assert_array_equal(o, np.full((3,), 2 * i, np.int32))
+    # balance211 over 10 requests / 2 replicas -> 5 + 5
+    assert srv.stats["per_replica"] == [5, 5]
+    assert calls[0] > 0 and calls[1] > 0
+
+
+def test_single_submit_picks_least_loaded():
+    srv = BatchServer([lambda x: x, lambda x: x], batch=4,
+                      input_shape=(2,), max_delay_ms=1.0)
+    # before start, submits spread across the two idle queues round-robin
+    # by queue depth
+    f1 = srv.submit(np.zeros((2,), np.uint8))
+    f2 = srv.submit(np.zeros((2,), np.uint8))
+    assert srv.stats["per_replica"] == [1, 1]
+    with srv:
+        assert f1.result(timeout=30).shape == (2,)
+        assert f2.result(timeout=30).shape == (2,)
