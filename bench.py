@@ -224,13 +224,26 @@ def bench_fused(args):
         conv1_relu=True, conv1_scales=(0.05,))
     import jax
 
+    convs_per_step = 1
     if args.dense:
         op = ConvOp(cfg, wei, bia, wei1, bia1)
         x = jax.device_put(src)
+    elif args.pair:
+        # two-layer megakernel (ops/mega.py): each chain step runs TWO
+        # fused convs in one Pallas program, halving HBM bytes per conv
+        from deepfusion_tpu.ops.mega import PackedConvPairOp
+        wei_b = rng.integers(-127, 128, (oc, ic, 3, 3)).astype(np.int8)
+        bia_b = rng.integers(-100, 101, (oc,)).astype(np.int32)
+        wei1_b = rng.integers(-127, 128, (oc1, oc, 1, 1)).astype(np.int8)
+        bia1_b = rng.integers(-100, 101, (oc1,)).astype(np.int32)
+        op = PackedConvPairOp(cfg, (wei, bia, wei1, bia1),
+                              cfg, (wei_b, bia_b, wei1_b, bia1_b))
+        x = jax.device_put(pack_image(src, op.sin))
+        convs_per_step = 2
     else:
         op = PackedConvOp(cfg, wei, bia, wei1, bia1)
         x = jax.device_put(pack_image(src, op.sin))
-    macs = n * hw * hw * (9 * ic * oc + oc * oc1)
+    macs = convs_per_step * n * hw * hw * (9 * ic * oc + oc * oc1)
     peak, kind = peak_ops()
 
     def builder(sec):
@@ -464,9 +477,10 @@ def bench_scaling(args):
         raise SystemExit(f"mesh {args.mesh} needs {n_chips} devices, "
                          f"have {len(jax.devices())}")
     if sp != 1 or tp != 1:
-        raise SystemExit("scaling bench shards the model over dp; sp/tp "
-                         "shardings are benched per-op (tests cover "
-                         "correctness; see parallel/shard.py)")
+        # op-level sharded scaling: the model forward is a local callable,
+        # so sp/tp meshes run the flagship fused conv through the
+        # production sharded wrappers instead (parallel/shard.py)
+        return _bench_scaling_op(args, dp, sp, tp)
     mesh = make_mesh(dp=dp, sp=sp, tp=tp)
 
     # per-chip batch stays constant (weak scaling): global = batch * dp
@@ -501,6 +515,63 @@ def bench_scaling(args):
     return builder(sec)
 
 
+def _bench_scaling_op(args, dp, sp, tp):
+    """sp/tp-mesh scaling on the flagship fused conv via the production
+    sharded wrappers: sp_conv (H halo exchange, optionally composed with
+    dp batch sharding) or tp_fused_conv (oc sharding + reduce_scatter
+    wire). Latency-bound single-image configs are what sp/tp exist for;
+    throughput configs use the dp model path."""
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from deepfusion_tpu.config import ConvConfig
+    from deepfusion_tpu.ops.conv import ConvOp
+    from deepfusion_tpu.parallel import make_mesh
+    from deepfusion_tpu.parallel.shard import sp_conv, tp_fused_conv
+
+    if tp != 1 and (sp != 1 or dp != 1):
+        raise SystemExit("tp composes with dp/sp at the model level only "
+                         "via dryrun_multichip's plan; bench one of "
+                         "dp[,sp] or tp")
+    n_chips = dp * sp * tp
+    hw, c = 128, 256            # ih divisible by sp; oc1x1 == ic chains
+    bs = args.batch * dp
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 256, (bs, hw, hw, c), dtype=np.uint8)
+    wei = rng.integers(-127, 128, (c, c, 3, 3)).astype(np.int8)
+    bia = rng.integers(-100, 101, (c,)).astype(np.int32)
+    wei1 = rng.integers(-127, 128, (c, c, 1, 1)).astype(np.int8)
+    bia1 = rng.integers(-100, 101, (c,)).astype(np.int32)
+    cfg = ConvConfig.make(
+        (bs, hw, hw, c), (c, c, 3, 3), bia.dtype, (1, 1), (1, 1),
+        (bs, hw, hw, c), "u8", conv0_scales=(0.001,),
+        wei1x1_shape=(c, c, 1, 1), bia1x1_dt=bia1.dtype,
+        conv1_relu=True, conv1_scales=(0.05,))
+    mesh = make_mesh(dp=dp, sp=sp, tp=tp)
+    if tp > 1:
+        fn = tp_fused_conv(cfg, wei, bia, wei1, bia1, mesh)
+        spec = P()
+    else:
+        op = ConvOp(cfg, wei, bia, wei1, bia1)
+        fn = sp_conv(op, mesh, dp_axis="dp" if dp > 1 else None)
+        spec = P("dp" if dp > 1 else None, "sp", None, None)
+    x0 = jax.device_put(src, jax.NamedSharding(mesh, spec))
+
+    def builder(sec):
+        return {"metric": "fused_conv_imgs_per_sec_per_chip",
+                "value": round(bs / sec / n_chips, 1),
+                "unit": "imgs/s/chip", "vs_baseline": 1.0,
+                "mesh": {"dp": dp, "sp": sp, "tp": tp,
+                         "hosts": jax.process_count()}}
+
+    _PARTIAL["builder"] = builder
+    sec = timeit_chain(fn, x0, args.iters)
+    print(f"# scaling-op mesh(dp={dp},sp={sp},tp={tp}) "
+          f"{sec*1e3:.3f} ms/conv {bs/sec:.0f} imgs/s total",
+          file=sys.stderr)
+    return builder(sec)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--op", default="fused",
@@ -525,6 +596,10 @@ def main():
                    help="fused/model: time the dense path instead of the "
                         "packed-domain chain (model: packed is the default "
                         "for fusionnet, where it measures faster)")
+    p.add_argument("--pair", action="store_true",
+                   help="fused: chain the two-layer megakernel (2 fused "
+                        "convs per Pallas program, ops/mega.py) instead "
+                        "of the single packed op")
     p.add_argument("--packed", action="store_true",
                    help="model: time the layout-persistent packed path "
                         "instead of the dense op-by-op path")
