@@ -70,27 +70,6 @@ def peak_ops():
     return INT8_PEAK["cpu"], kind
 
 
-_RTT = None
-
-
-def measure_rtt():
-    """Round-trip of a trivial jitted scalar readback; subtracted from every
-    timed chain so tunnel latency doesn't count against the kernel."""
-    global _RTT
-    if _RTT is not None:
-        return _RTT
-    import jax
-
-    @jax.jit
-    def nop(x):
-        return x.sum()
-
-    z = jax.device_put(np.ones((8, 128), np.float32))
-    float(nop(z))                       # compile + first (slow) readback
-    _RTT = min(_timed_readback(nop, z) for _ in range(5))
-    return _RTT
-
-
 def _timed_readback(fn, *args):
     t0 = time.perf_counter()
     float(fn(*args))

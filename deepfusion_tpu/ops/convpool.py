@@ -28,7 +28,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import ConvConfig, PoolConfig
-from ..types import dtype, round_mode
+from ..types import dtype
 from ..utils import env
 from ..utils.opcache import OperandCache
 from . import layout

@@ -415,3 +415,35 @@ class PackedConvPairOp:
               "input does not match the op's packed spec")
         return _pair_call(self.cfg_a, self.cfg_b, self.sin, self.smid,
                           self.sout, arr, *self._cache.for_call(arr))
+
+    # --- packed-weight persistence (mirrors PackedConvOp.save/load) ---
+
+    def save(self, path: str):
+        """Save both layers' packed operands + configs + specs to .npz."""
+        from ..utils.persist import dump_configs
+        na = 8 if self.cfg_a.fuse_conv1x1 else 4
+        arrs = {}
+        for i, v in enumerate(self._cache.host):
+            layer, j = ("a", i) if i < na else ("b", i - na)
+            arrs[f"{layer}{j}"] = np.asarray(v)
+        np.savez(path, __cfg__=dump_configs(
+            cfg_a=self.cfg_a, cfg_b=self.cfg_b, sin=self.sin,
+            smid=self.smid, sout=self.sout), **arrs)
+
+    @classmethod
+    def load(cls, path: str) -> "PackedConvPairOp":
+        from ..utils.persist import load_configs
+        data = np.load(path, allow_pickle=False)
+        cfgs = load_configs(data["__cfg__"], cfg_a=ConvConfig,
+                            cfg_b=ConvConfig, sin=PackedSpec,
+                            smid=PackedSpec, sout=PackedSpec)
+        op = cls.__new__(cls)
+        op.cfg_a, op.cfg_b = cfgs["cfg_a"], cfgs["cfg_b"]
+        op.sin, op.smid, op.sout = cfgs["sin"], cfgs["smid"], cfgs["sout"]
+        na = 8 if op.cfg_a.fuse_conv1x1 else 4
+        nb = 8 if op.cfg_b.fuse_conv1x1 else 4
+        op._cache = OperandCache(
+            [data[f"a{j}"] for j in range(na)]
+            + [data[f"b{j}"] for j in range(nb)])
+        validate_packed_pair(op.cfg_a, op.cfg_b, op.sin, op.smid, op.sout)
+        return op

@@ -121,9 +121,11 @@ def main():
             def fn(z):
                 return packed_maxpool2(pop(z), pop.sout)[0]
 
-            out_spec = packed_maxpool2(
-                np.full(pop.sout.array_shape(1), -128, np.int8),
-                pop.sout)[1]
+            from deepfusion_tpu.ops.packed import PackedSpec
+            s = pop.sout
+            out_spec = PackedSpec(h=s.h // 2, w=s.w // 2, c=s.c, cp=s.cp,
+                                  halo=s.halo // 2, col_off=s.col_off // 2,
+                                  iwp=s.iwp // 2)
             tag = tag + "_packed"
             got = unpack_image(np.asarray(jax.jit(fn)(x)), out_spec)
         else:

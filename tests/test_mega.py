@@ -10,11 +10,9 @@ import numpy as np
 import pytest
 
 from deepfusion_tpu.config import ConvConfig
-from deepfusion_tpu.ops.mega import PackedConvPairOp, validate_packed_pair
-from deepfusion_tpu.ops.packed import (PackedConvOp, PackedSpec, pack_image,
-                                       unpack_image)
+from deepfusion_tpu.ops.mega import PackedConvPairOp
+from deepfusion_tpu.ops.packed import PackedConvOp, PackedSpec, pack_image
 from deepfusion_tpu.utils.logger import CheckError
-from deepfusion_tpu.utils.mathutil import conv_output_size
 
 from helpers import fill_data
 from test_packed import build_cfg
@@ -140,3 +138,21 @@ def test_pair_validation_fail_fast(rng):
                             conv0_scales=(0.02,))
     with pytest.raises(CheckError):
         PackedConvPairOp(cfg_s, (wa, None), cfg_s, (wa, None))
+
+
+def test_pair_save_load_roundtrip(tmp_path, rng):
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(1, 32, hw, 32, 1, rng=rng)
+    pair = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                            cfg_b, (wb, bb, wb1, bb1))
+    x = pack_image(src, pair.sin)
+    want = np.asarray(pair(x))
+    path = str(tmp_path / "pair.npz")
+    pair.save(path)
+    reloaded = PackedConvPairOp.load(path)
+    assert (reloaded.cfg_a, reloaded.cfg_b) == (pair.cfg_a, pair.cfg_b)
+    assert (reloaded.sin, reloaded.smid, reloaded.sout) == \
+           (pair.sin, pair.smid, pair.sout)
+    np.testing.assert_array_equal(np.asarray(reloaded(x)), want)
