@@ -451,7 +451,10 @@ class ConvOp:
     def _operands(self):
         return self._cache.host
 
-    def __call__(self, src_u8, sum_src=None):
+    def __call__(self, src_u8, sum_src=None, operands=None):
+        """operands: optional override of the cached packed weights —
+        pass them as jit ARGUMENTS from a traced caller to keep the
+        compile keyed on shapes instead of weight values."""
         src = jnp.asarray(src_u8)
         if self.cfg.with_sum and sum_src is None:
             raise ValueError("config has a sum post-op; pass sum_src")
@@ -466,7 +469,8 @@ class ConvOp:
             maybe_dump_lowered(name, call, *cfgs, src, *self._operands)
             self._dumped = True
         kw = {}
-        operands = self._cache.for_call(src)
+        if operands is None:
+            operands = self._cache.for_call(src)
         if self.cfg.fuse_conv1x1:
             args = operands
         else:

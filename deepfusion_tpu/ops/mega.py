@@ -358,10 +358,14 @@ class PackedConvPairOp:
                           halo=halo_out, col_off=col_off_out, iwp=sin.iwp)
         # largest legal row tile: divides padded output rows, M <= 8192,
         # and the two wide tap patches (the dominant VMEM buffers) fit a
-        # 40 MB budget; >= 2 tiles when boundary rolls engage
+        # 24 MB budget; >= 2 tiles when boundary rolls engage. The budget
+        # is the measured VMEM-pressure cliff: at the flagship shape
+        # T=64 (38 MB of wide patches) ran 71.8% of roofline vs T=32's
+        # 81.3% (scratch/mega_probe.py) — past ~24 MB Mosaic loses the
+        # headroom it needs to double-buffer the streams.
         kda = cfg_a.kh * cfg_a.kw * cfg_a.icp
         kdb = cfg_b.kh * cfg_b.kw * cfg_b.icp
-        budget = 40 * 2 ** 20
+        budget = 24 * 2 ** 20
         cands = []
         for d in range(1, sout.rows + 1):
             if sout.rows % d:
@@ -409,12 +413,17 @@ class PackedConvPairOp:
     def pack_input(self, src_u8, xp=np):
         return pack_image(src_u8, self.sin, xp=xp)
 
-    def __call__(self, packed_arr):
+    def __call__(self, packed_arr, operands=None):
+        """operands: optional override of the cached packed weights —
+        pass them as jit ARGUMENTS from a traced caller to keep the
+        compile keyed on shapes instead of weight values."""
         arr = jnp.asarray(packed_arr)
         check(arr.shape == self.sin.array_shape(arr.shape[0]),
               "input does not match the op's packed spec")
+        if operands is None:
+            operands = self._cache.for_call(arr)
         return _pair_call(self.cfg_a, self.cfg_b, self.sin, self.smid,
-                          self.sout, arr, *self._cache.for_call(arr))
+                          self.sout, arr, *operands)
 
     # --- packed-weight persistence (mirrors PackedConvOp.save/load) ---
 

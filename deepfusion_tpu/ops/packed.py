@@ -815,7 +815,11 @@ class PackedConvOp:
             src_u8 = layout.s2d_image_u8(self.cfg_orig, src_u8, xp=xp)
         return pack_image(src_u8, self.sin, xp=xp)
 
-    def __call__(self, packed_arr, sum_arr=None):
+    def __call__(self, packed_arr, sum_arr=None, operands=None):
+        """operands: optional override of the cached packed weights (same
+        order as _OPERAND_KEYS) — pass the op's weights as jit ARGUMENTS
+        from a traced caller to keep the compile keyed on shapes instead
+        of weight values (see bench.make_chain)."""
         arrs = (tuple(jnp.asarray(a) for a in packed_arr)
                 if isinstance(packed_arr, (tuple, list))
                 else (jnp.asarray(packed_arr),))
@@ -829,8 +833,10 @@ class PackedConvOp:
             check(sum_arr.shape == self.ssum.array_shape(arrs[0].shape[0]),
                   "sum_arr does not match the sum spec")
             kw = dict(ssum=self.ssum, sum_arr=sum_arr)
+        if operands is None:
+            operands = self._cache.for_call(arrs[0])
         return _packed_call(self.cfg, self.sins, self.sout,
-                            arrs, *self._cache.for_call(arrs[0]), **kw)
+                            arrs, *operands, **kw)
 
     # --- packed-weight persistence (mirrors ConvOp.save/load; the input/
     # output PackedSpecs are part of the op's contract, so they persist
