@@ -177,6 +177,37 @@ def _tap_dot(patch, cfg: ConvConfig, si: PackedSpec, so: PackedSpec,
     return acc + corr_ref[...]
 
 
+def _tap_dot_split(blocks, cfg: ConvConfig, si: PackedSpec, so: PackedSpec,
+                   w3_ref, corr_ref, interp: bool):
+    """kh-split formulation: one (m, kw*icp) dot per kh row block,
+    s32 partials summed. Same MACs as _tap_dot but the live tap buffer
+    is kh-times smaller, trading the single-dot's ~0.5pp MXU edge for
+    the VMEM headroom that keeps big tiles double-buffered (the T=64
+    cliff, see PackedConvPairOp budget note). Expects blocks in kh
+    order and w3 packed KH-MAJOR ((kh, kw, icp) rows,
+    _pack_weights_khmajor)."""
+    ds = [si.col_off - so.col_off + kj - cfg.pw for kj in range(cfg.kw)]
+    ksub = cfg.kw * cfg.icp
+    acc = None
+    for ki, block in enumerate(blocks):
+        taps = [_shifted_patch(block, d, interp) for d in ds]
+        wide = taps[0] if cfg.kw == 1 else jnp.concatenate(taps, axis=-1)
+        part = jnp.dot(wide, w3_ref[ki * ksub:(ki + 1) * ksub, :],
+                       preferred_element_type=jnp.int32)
+        acc = part if acc is None else acc + part
+    return acc + corr_ref[...]
+
+
+def _pack_weights_khmajor(wei_oihw, icp: int, ocp: int):
+    """OIHW s8 -> (KH*KW*ICP, OCP) with KH-major rows, for the kh-split
+    dot (layout.pack_conv_weights is kw-major for the single-dot path)."""
+    w = np.asarray(wei_oihw)
+    oc, ic, kh, kw = w.shape
+    out = np.zeros((kh, kw, icp, ocp), dtype=np.int8)
+    out[:, :, :ic, :oc] = np.transpose(w, (2, 3, 1, 0))
+    return out.reshape(kh * kw * icp, ocp)
+
+
 def _image_mask(m, iwp, row0, spec: PackedSpec):
     """(m, 1) f32 0/1 mask of slots inside spec's image region, for a
     tile whose first flat row is virtual row `row0` (may be traced)."""
@@ -189,8 +220,32 @@ def _image_mask(m, iwp, row0, spec: PackedSpec):
         ).astype(jnp.float32)
 
 
+def _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp):
+    """Un-shift a clamped window with a static roll at the extreme tiles
+    (ops/packed.py boundary trick); wrapped rows land in rows the
+    intermediate mask forces to -128 (validate_packed_pair)."""
+    if not (off_top or off_bot):
+        return x
+    if interp:
+        if off_top:
+            x = jnp.where(t == 0, jnp.roll(x, off_top * iwp, 0), x)
+        if off_bot:
+            x = jnp.where(t == nt - 1, jnp.roll(x, -off_bot * iwp, 0), x)
+        return x
+    p32 = pltpu.bitcast(x, jnp.int32)
+    mq = x.shape[0] // 4
+    if off_top:
+        p32 = jnp.where(t == 0, pltpu.roll(p32, off_top * iwp // 4, 0),
+                        p32)
+    if off_bot:
+        p32 = jnp.where(t == nt - 1,
+                        pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
+    return pltpu.bitcast(p32, jnp.int8)
+
+
 def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
-                 sin: PackedSpec, smid: PackedSpec, sout: PackedSpec):
+                 sin: PackedSpec, smid: PackedSpec, sout: PackedSpec,
+                 split_kh: bool = False):
     na = 8 if cfg_a.fuse_conv1x1 else 4
     ops_a, refs = refs[:na], refs[na:]
     nb = 8 if cfg_b.fuse_conv1x1 else 4
@@ -213,30 +268,15 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
     for ki in range(cfg_a.kh):
         base = pl.multiple_of((s1 + ki) * iwp, 8)
         blocks.append(src_ref[0, pl.ds(base, m2), :])
-    patch = jnp.concatenate(blocks, axis=-1)          # (m2, kh_a*icp_a)
-    if off_top or off_bot:
-        # un-shift the clamped window with a static roll (ops/packed.py
-        # boundary trick); wrapped rows land in intermediate rows the
-        # mask below forces to -128 (validate_packed_pair)
-        if interp:
-            if off_top:
-                patch = jnp.where(t == 0,
-                                  jnp.roll(patch, off_top * iwp, 0), patch)
-            if off_bot:
-                patch = jnp.where(t == nt - 1,
-                                  jnp.roll(patch, -off_bot * iwp, 0), patch)
-        else:
-            p32 = pltpu.bitcast(patch, jnp.int32)
-            mq = m2 // 4
-            if off_top:
-                p32 = jnp.where(
-                    t == 0, pltpu.roll(p32, off_top * iwp // 4, 0), p32)
-            if off_bot:
-                p32 = jnp.where(
-                    t == nt - 1,
-                    pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
-            patch = pltpu.bitcast(p32, jnp.int8)
-    acc = _tap_dot(patch, cfg_a, sin, smid, ops_a[0], ops_a[1], interp)
+    if split_kh:
+        blocks = [_roll_boundary(b, t, nt, off_top, off_bot, iwp, interp)
+                  for b in blocks]
+        acc = _tap_dot_split(blocks, cfg_a, sin, smid, ops_a[0], ops_a[1],
+                             interp)
+    else:
+        patch = jnp.concatenate(blocks, axis=-1)      # (m2, kh_a*icp_a)
+        patch = _roll_boundary(patch, t, nt, off_top, off_bot, iwp, interp)
+        acc = _tap_dot(patch, cfg_a, sin, smid, ops_a[0], ops_a[1], interp)
     mask_mid = _image_mask(m2, iwp, s2u, smid)
     # land the intermediate in a VMEM scratch ref: slicing layer b's
     # row blocks out of a REF gives Mosaic the same load-fusion as the
@@ -247,16 +287,22 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
     # layer b consumes the VMEM-resident intermediate tile directly:
     # its window start IS s2u, so no clamp and no roll
     blocks_b = [inter_ref[pl.ds(ki * iwp, m), :] for ki in range(cfg_b.kh)]
-    patch_b = jnp.concatenate(blocks_b, axis=-1)      # (m, kh_b*icp_b)
-    acc_b = _tap_dot(patch_b, cfg_b, smid, sout, ops_b[0], ops_b[1], interp)
+    if split_kh:
+        acc_b = _tap_dot_split(blocks_b, cfg_b, smid, sout, ops_b[0],
+                               ops_b[1], interp)
+    else:
+        patch_b = jnp.concatenate(blocks_b, axis=-1)  # (m, kh_b*icp_b)
+        acc_b = _tap_dot(patch_b, cfg_b, smid, sout, ops_b[0], ops_b[1],
+                         interp)
     mask_out = _image_mask(m, iwp, t * T, sout)
     out_ref[0] = _epilogue_u8(cfg_b, acc_b, ops_b, mask_out)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_a", "cfg_b", "sin",
-                                             "smid", "sout"))
+                                             "smid", "sout", "split_kh"))
 def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
-               smid: PackedSpec, sout: PackedSpec, arr, *operands):
+               smid: PackedSpec, sout: PackedSpec, arr, *operands,
+               split_kh: bool = False):
     n = arr.shape[0]
     T = cfg_b.row_tile
     iwp = sin.iwp
@@ -302,7 +348,8 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
                 for op in operands]
     return pl.pallas_call(
         functools.partial(_pair_kernel, cfg_a=cfg_a, cfg_b=cfg_b,
-                          sin=sin, smid=smid, sout=sout),
+                          sin=sin, smid=smid, sout=sout,
+                          split_kh=split_kh),
         out_shape=jax.ShapeDtypeStruct(sout.array_shape(n), jnp.int8),
         grid=grid,
         in_specs=in_specs,
@@ -334,7 +381,8 @@ class PackedConvPairOp:
     def __init__(self, cfg_a: ConvConfig, weights_a, cfg_b: ConvConfig,
                  weights_b, sin: PackedSpec = None,
                  halo_out: int = None, col_off_out: int = None,
-                 halo_mid: int = None, row_tile: int = None):
+                 halo_mid: int = None, row_tile: int = None,
+                 split_kh: bool = False):
         from . import layout
         cfg_a = _narrow_cfg(cfg_a)
         cfg_b = _narrow_cfg(cfg_b)
@@ -363,8 +411,10 @@ class PackedConvPairOp:
         # T=64 (38 MB of wide patches) ran 71.8% of roofline vs T=32's
         # 81.3% (scratch/mega_probe.py) — past ~24 MB Mosaic loses the
         # headroom it needs to double-buffer the streams.
-        kda = cfg_a.kh * cfg_a.kw * cfg_a.icp
-        kdb = cfg_b.kh * cfg_b.kw * cfg_b.icp
+        # split_kh shrinks the live tap buffer kh-fold (one kh block's
+        # taps at a time, _tap_dot_split)
+        kda = cfg_a.kw * cfg_a.icp * (1 if split_kh else cfg_a.kh)
+        kdb = cfg_b.kw * cfg_b.icp * (1 if split_kh else cfg_b.kh)
         budget = 24 * 2 ** 20
         cands = []
         for d in range(1, sout.rows + 1):
@@ -390,15 +440,20 @@ class PackedConvPairOp:
         validate_packed_pair(cfg_a, cfg_b, sin, smid, sout)
         self.cfg_a, self.cfg_b = cfg_a, cfg_b
         self.sin, self.smid, self.sout = sin, smid, sout
+        self.split_kh = split_kh
         self._cache = OperandCache(
-            self._pack_layer(cfg_a, weights_a)
-            + self._pack_layer(cfg_b, weights_b))
+            self._pack_layer(cfg_a, weights_a, split_kh)
+            + self._pack_layer(cfg_b, weights_b, split_kh))
 
     @staticmethod
-    def _pack_layer(cfg: ConvConfig, weights):
+    def _pack_layer(cfg: ConvConfig, weights, split_kh: bool = False):
         from . import layout
         wei, bia, wei1x1, bia1x1 = (tuple(weights) + (None, None))[:4]
         packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
+        if split_kh:
+            # kh-major rows for _tap_dot_split (stride-1 only — validated);
+            # the u8-shift correction is a column sum, row-order invariant
+            packed["w3"] = _pack_weights_khmajor(wei, cfg.icp, cfg.ocp)
         packed["scale0"][cfg.oc:] = 0.0
         keys = ["w3", "corr0", "bias0", "scale0"]
         if cfg.fuse_conv1x1:
@@ -423,7 +478,8 @@ class PackedConvPairOp:
         if operands is None:
             operands = self._cache.for_call(arr)
         return _pair_call(self.cfg_a, self.cfg_b, self.sin, self.smid,
-                          self.sout, arr, *operands)
+                          self.sout, arr, *operands,
+                          split_kh=self.split_kh)
 
     # --- packed-weight persistence (mirrors PackedConvOp.save/load) ---
 
@@ -437,7 +493,8 @@ class PackedConvPairOp:
             arrs[f"{layer}{j}"] = np.asarray(v)
         np.savez(path, __cfg__=dump_configs(
             cfg_a=self.cfg_a, cfg_b=self.cfg_b, sin=self.sin,
-            smid=self.smid, sout=self.sout), **arrs)
+            smid=self.smid, sout=self.sout),
+            __split_kh__=np.bool_(self.split_kh), **arrs)
 
     @classmethod
     def load(cls, path: str) -> "PackedConvPairOp":
@@ -449,6 +506,8 @@ class PackedConvPairOp:
         op = cls.__new__(cls)
         op.cfg_a, op.cfg_b = cfgs["cfg_a"], cfgs["cfg_b"]
         op.sin, op.smid, op.sout = cfgs["sin"], cfgs["smid"], cfgs["sout"]
+        op.split_kh = bool(data["__split_kh__"]) \
+            if "__split_kh__" in data else False
         na = 8 if op.cfg_a.fuse_conv1x1 else 4
         nb = 8 if op.cfg_b.fuse_conv1x1 else 4
         op._cache = OperandCache(

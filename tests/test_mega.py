@@ -45,16 +45,18 @@ def _check_match(pair, op_a, op_b, src):
     assert (img[:, :, s.col_off + s.w:] == -128).all()
 
 
+@pytest.mark.parametrize("split_kh", [False, True])
 @pytest.mark.parametrize("fused_a,fused_b", [(True, True), (True, False),
                                              (False, True), (False, False)])
-def test_pair_matches_sequential(fused_a, fused_b, rng):
+def test_pair_matches_sequential(fused_a, fused_b, split_kh, rng):
     hw = 12
     cfg_a, src, wa, ba, wa1, ba1 = build_cfg(
         2, 32, hw, 32, 1, oc1=32 if fused_a else None, rng=rng)
     cfg_b, _, wb, bb, wb1, bb1 = build_cfg(
         2, 32, hw, 32, 1, oc1=32 if fused_b else None, rng=rng)
     pair, op_a, op_b = _pair_and_seq(
-        cfg_a, (wa, ba, wa1, ba1), cfg_b, (wb, bb, wb1, bb1))
+        cfg_a, (wa, ba, wa1, ba1), cfg_b, (wb, bb, wb1, bb1),
+        split_kh=split_kh)
     _check_match(pair, op_a, op_b, src)
 
 
@@ -140,13 +142,14 @@ def test_pair_validation_fail_fast(rng):
         PackedConvPairOp(cfg_s, (wa, None), cfg_s, (wa, None))
 
 
-def test_pair_save_load_roundtrip(tmp_path, rng):
+@pytest.mark.parametrize("split_kh", [False, True])
+def test_pair_save_load_roundtrip(tmp_path, split_kh, rng):
     hw = 12
     cfg_a, src, wa, ba, wa1, ba1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
                                              rng=rng)
     cfg_b, _, wb, bb, wb1, bb1 = build_cfg(1, 32, hw, 32, 1, rng=rng)
     pair = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
-                            cfg_b, (wb, bb, wb1, bb1))
+                            cfg_b, (wb, bb, wb1, bb1), split_kh=split_kh)
     x = pack_image(src, pair.sin)
     want = np.asarray(pair(x))
     path = str(tmp_path / "pair.npz")
