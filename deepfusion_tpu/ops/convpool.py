@@ -234,15 +234,19 @@ class ConvPoolOp:
     def _operands(self):
         return self._cache.host
 
-    def __call__(self, src_u8, sum_src=None):
+    def __call__(self, src_u8, sum_src=None, operands=None):
+        """operands: optional override of the cached packed weights —
+        pass them as jit ARGUMENTS from a traced caller to keep the
+        compile keyed on shapes instead of weight values."""
         kw = {}
         if sum_src is not None:
             kw["sum_src"] = jnp.asarray(sum_src)
         if (self.cfg_orig.sh, self.cfg_orig.sw) != (1, 1):
             kw["cfg_orig"] = self.cfg_orig
         src = jnp.asarray(src_u8)
-        return _convpool_call(self.cfg, self.pc, src,
-                              *self._cache.for_call(src), **kw)
+        if operands is None:
+            operands = self._cache.for_call(src)
+        return _convpool_call(self.cfg, self.pc, src, *operands, **kw)
 
     # --- packed-weight persistence (mirrors ConvOp.save/load) ---
     _OPERAND_KEYS = ("w3", "corr0", "bias0", "scale0")

@@ -32,9 +32,9 @@ def expect(out, ref, tag):
     print(f"OK   {tag}", flush=True)
 
 
-def bench_line(step, x, macs, imgs, tag, iters, results):
+def bench_line(step, x, macs, imgs, tag, iters, results, aux=None):
     import bench
-    sec = bench.timeit_chain(step, x, iters, reps=5, spread_s=10)
+    sec = bench.timeit_chain(step, x, iters, reps=5, spread_s=10, aux=aux)
     peak, kind = bench.peak_ops()
     pct = 100.0 * 2 * macs / sec / peak
     line = {"case": tag, "ms_per_iter": round(sec * 1e3, 3),
@@ -76,12 +76,17 @@ def main():
 
     def bump_step(fn):
         # data dependency through one output element (shape-changing ops
-        # can't feed their output back); see bench.bench_conv's chain note
-        def step(x):
-            out = fn(x)
+        # can't feed their output back); see bench.bench_conv's chain
+        # note. fn takes (x, aux) — the op's packed weights ride as jit
+        # arguments so compiles stay shape-keyed and fast (bench.make_chain)
+        def step(x, aux):
+            out = fn(x, aux)
             b = (out.reshape(-1)[0].astype(jnp.int32) & 1).astype(x.dtype)
             return x + b
         return step
+
+    def op_aux(op):
+        return tuple(jax.device_put(np.asarray(a)) for a in op._operands)
 
     # ---- VGG conv+relu+maxpool2 blocks (test_conv_relu_pooling.cc:317-327)
     # (n, ic, ih, oc, iters): conv3x3 p1 s1 + relu -> maxpool 2x2/s2, dst u8.
@@ -112,31 +117,37 @@ def main():
             # packed-domain formulation (VERDICT r3 #3a): byte-shift
             # single-dot conv kernel + packed_maxpool2, no per-op prep
             from deepfusion_tpu.ops.packed import (PackedConvOp,
+                                                   PackedSpec,
                                                    packed_maxpool2,
                                                    pack_image,
                                                    unpack_image)
             pop = PackedConvOp(cfg, wei, bia, col_off_out=2, halo_out=2)
             x = jax.device_put(pack_image(src, pop.sin))
+            aux = op_aux(pop)
 
-            def fn(z):
-                return packed_maxpool2(pop(z), pop.sout)[0]
+            def fn(z, a):
+                return packed_maxpool2(pop(z, operands=a), pop.sout)[0]
 
-            from deepfusion_tpu.ops.packed import PackedSpec
             s = pop.sout
             out_spec = PackedSpec(h=s.h // 2, w=s.w // 2, c=s.c, cp=s.cp,
                                   halo=s.halo // 2, col_off=s.col_off // 2,
                                   iwp=s.iwp // 2)
             tag = tag + "_packed"
-            got = unpack_image(np.asarray(jax.jit(fn)(x)), out_spec)
+            got = unpack_image(np.asarray(jax.jit(fn)(x, aux)), out_spec)
         else:
-            fn = ConvPoolOp(cfg, pc, wei, bia)
+            cop = ConvPoolOp(cfg, pc, wei, bia)
             x = jax.device_put(src)
-            got = np.asarray(fn(x))
+            aux = op_aux(cop)
+
+            def fn(z, a):
+                return cop(z, operands=a)
+
+            got = np.asarray(jax.jit(fn)(x, aux))
         expect(got, want, tag)
         if not args.fast:
             macs = n * ih * ih * 9 * ic * oc
             bench_line(bump_step(fn), x, macs, n, tag,
-                       args.iters * iscale, results)
+                       args.iters * iscale, results, aux=aux)
 
     # ---- ResNet stem: 50x3x224x224, conv7x7/s2 p3 + relu -> maxpool2x2/s2
     # (test_conv_relu_pooling.cc:332-333). Since dafe056, strided convs
@@ -156,21 +167,30 @@ def main():
         pc = PoolConfig.make("max", (oh, oh), (2, 2), (2, 2), (0, 0))
         if getattr(args, "composed", False):
             op = ConvOp(cfg, wei, bia)
-            stem = jax.jit(
-                lambda s: pool(op(s), "max", (2, 2), (2, 2), (0, 0)))
+            aux = op_aux(op)
+
+            def stem(s, a):
+                return pool(op(s, operands=a), "max", (2, 2), (2, 2),
+                            (0, 0))
+
             tag = "resnet_stem_composed"
         else:
             assert pool2_fusable(cfg, pc)
-            stem = ConvPoolOp(cfg, pc, wei, bia)
+            cop = ConvPoolOp(cfg, pc, wei, bia)
+            aux = op_aux(cop)
+
+            def stem(s, a):
+                return cop(s, operands=a)
+
             tag = "resnet_stem"
         x = jax.device_put(src)
-        got = np.asarray(stem(x))
+        got = np.asarray(jax.jit(stem)(x, aux))
         expect(got, pool_ref(conv_ref(cfg, src, wei, bia), pc),
                f"{tag} 7x7/s2+pool")
         if not args.fast:
             macs = n * oh * oh * 49 * ic * oc
             bench_line(bump_step(stem), x, macs, n, tag,
-                       args.iters, results)
+                       args.iters, results, aux=aux)
 
     # ---- ResNet head: 50x2048x7x7 conv1x1 + relu -> global avg-pool 7x7
     # (test_conv_relu_pooling.cc:334-335; avg excludes padding, p=0 so
@@ -185,16 +205,20 @@ def main():
                               conv0_relu=True, conv0_scales=(0.002,))
         pc = PoolConfig.make("avg_exc", (ih, ih), (7, 7), (7, 7), (0, 0))
         op = ConvOp(cfg, wei, bia)
-        head = jax.jit(lambda s: pool(op(s), "avg_exc", (7, 7), (7, 7),
-                                      (0, 0)))
+        aux = op_aux(op)
+
+        def head(s, a):
+            return pool(op(s, operands=a), "avg_exc", (7, 7), (7, 7),
+                        (0, 0))
+
         x = jax.device_put(src)
-        got = np.asarray(head(x))
+        got = np.asarray(jax.jit(head)(x, aux))
         expect(got, pool_ref(conv_ref(cfg, src, wei, bia), pc),
                "resnet_head 1x1+avgpool7")
         if not args.fast:
             macs = n * ih * ih * ic * oc
             bench_line(bump_step(head), x, macs, n, "resnet_head",
-                       args.iters * 4, results)
+                       args.iters * 4, results, aux=aux)
 
     if results:
         suffix = "_packed" if args.packed else \
