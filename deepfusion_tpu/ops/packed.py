@@ -235,7 +235,7 @@ def _shifted_patch(patch, d, interp):
 
 
 def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
-                   ssum: PackedSpec = None):
+                   ssum: PackedSpec = None, pool2: bool = False):
     n_src = len(sins)
     sin = sins[0]
     src_refs, refs = refs[:n_src], refs[n_src:]
@@ -361,6 +361,27 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
         sum_rounded = round_f32(
             sv.astype(jnp.float32) * np.float32(cfg.sum_scale), fin_round)
 
+    def store(y):
+        if not pool2:
+            out_ref[0] = y
+            return
+        # fused 2x2/s2 max pool on the packed s8 tile (the dense
+        # convpool epilogue's packed twin): max commutes with the -128
+        # centering AND with the monotone saturate, so pooling the
+        # already-saturated s8 values is bit-identical to the dense
+        # pool(conv(...)) composition; non-image slots pool among
+        # -128s and stay -128, keeping the halved output a valid
+        # packed image (packed_maxpool2 legality, enforced by
+        # validate_packed_conv pool2 checks)
+        # pairwise elementwise maximum, not an axis reduction — Mosaic
+        # has no int8 reductions (and this keeps the data int8 end to
+        # end, unlike the standalone pool kernel's int32 widening)
+        T2, iw2 = T // 2, iwp // 2
+        x4 = y.reshape(T2, 2, iw2, 2, y.shape[-1])
+        p = jnp.maximum(jnp.maximum(x4[:, 0, :, 0], x4[:, 0, :, 1]),
+                        jnp.maximum(x4[:, 1, :, 0], x4[:, 1, :, 1]))
+        out_ref[0] = p.reshape(T2 * iw2, y.shape[-1])
+
     def epilogue(acc_t):
         if cfg.fuse_conv1x1:
             x1 = requant_to_u8_centered(
@@ -368,23 +389,25 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
                 scale0_ref[...], cfg.conv0_round)
             acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
             acc1 = acc1 + corr1_ref[...]
-            out_ref[0] = requant_to_u8_centered(
+            store(requant_to_u8_centered(
                 acc1, bias1_ref[...] if cfg.conv1_with_bias else None,
                 scale1_ref[...], cfg.conv1_round, zero_mask=maskf,
-                sum_rounded=sum_rounded)
+                sum_rounded=sum_rounded))
         else:
-            out_ref[0] = requant_to_u8_centered(
+            store(requant_to_u8_centered(
                 acc_t, bias0_ref[...] if cfg.conv0_with_bias else None,
                 scale0_ref[...], cfg.conv0_round, zero_mask=maskf,
-                sum_rounded=sum_rounded)
+                sum_rounded=sum_rounded))
 
     epilogue(acc)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "sins", "sout", "ssum"))
+                   static_argnames=("cfg", "sins", "sout", "ssum",
+                                    "pool2"))
 def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
-                 arrs, *operands, ssum: PackedSpec = None, sum_arr=None):
+                 arrs, *operands, ssum: PackedSpec = None, sum_arr=None,
+                 pool2: bool = False):
     sin = sins[0]
     n = arrs[0].shape[0]
     T = cfg.row_tile
@@ -420,20 +443,26 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
         in_specs += [pl.BlockSpec((cfg.ocp, cfg.oc1x1p), lambda b, t: (0, 0),
                                   memory_space=pltpu.VMEM),
                      vec(cfg.oc1x1p), vec(cfg.oc1x1p), vec(cfg.oc1x1p)]
-    out_spec = pl.BlockSpec((1, m, ocp_out), lambda b, t: (b, t, 0),
+    if pool2:
+        m_out = (T // 2) * (iwp // 2)
+        out_shape = (n, (sout.rows // 2) * (iwp // 2), ocp_out)
+    else:
+        m_out = m
+        out_shape = sout.array_shape(n)
+    out_spec = pl.BlockSpec((1, m_out, ocp_out), lambda b, t: (b, t, 0),
                             memory_space=pltpu.VMEM)
 
     flops = 2 * m * k_dim * cfg.ocp
     if cfg.fuse_conv1x1:
         flops += 2 * m * cfg.ocp * cfg.oc1x1p
     nbytes = (sin.rows * iwp * cfg.icp // max(grid[1], 1)
-              + m * ocp_out)
+              + m_out * ocp_out)
 
     operands = [op.reshape(1, -1) if op.ndim == 1 else op for op in operands]
     return pl.pallas_call(
         functools.partial(_packed_kernel, cfg=cfg, sins=sins, sout=sout,
-                          ssum=ssum),
-        out_shape=jax.ShapeDtypeStruct(sout.array_shape(n), jnp.int8),
+                          ssum=ssum, pool2=pool2),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -735,7 +764,7 @@ class PackedConvOp:
     def __init__(self, cfg: ConvConfig, wei, bia=None, wei1x1=None,
                  bia1x1=None, sin: PackedSpec = None,
                  col_off_out: int = None, halo_out: int = None,
-                 sum_spec: PackedSpec = None):
+                 sum_spec: PackedSpec = None, pool2: bool = False):
         from . import layout
         # strided configs run the stride-1 packed kernel on the s2d grid
         # (the same lowering ConvOp uses, ops/layout.py); the op's sin then
@@ -790,12 +819,19 @@ class PackedConvOp:
         cands = [d for d in range(1, sout.rows + 1)
                  if sout.rows % d == 0 and d <= tmax
                  and d >= max(off_top, off_bot)
+                 and (not pool2 or d % 2 == 0)
                  and (not need_two or sout.rows // d >= 2)]
         check(bool(cands), "no legal row_tile for packed geometry")
         rt = cands[-1]
         cfg = dataclasses.replace(cfg, row_tile=rt)
         self.cfg = cfg
         validate_packed_conv(cfg, sins, sout, ssum=sum_spec)
+        if pool2:
+            # fused 2x2/s2 max pool in the epilogue: the conv output
+            # spec must satisfy the packed-pool legality so the halved
+            # result is itself a valid packed image
+            validate_packed_maxpool2(sout)
+        self.pool2 = pool2
         self.sins = sins
         self.sin = sins[0]
         self.sout = sout
@@ -804,6 +840,14 @@ class PackedConvOp:
     @property
     def _operands(self):
         return self._cache.host
+
+    @property
+    def sout_pooled(self) -> PackedSpec:
+        """Output spec of the fused pool2 epilogue (valid when pool2)."""
+        s = self.sout
+        return PackedSpec(h=s.h // 2, w=s.w // 2, c=s.c, cp=s.cp,
+                          halo=s.halo // 2, col_off=s.col_off // 2,
+                          iwp=s.iwp // 2)
 
     def pack_input(self, src_u8, xp=np):
         """Model-boundary pack: dense NHWC u8 -> this op's packed input
@@ -835,6 +879,8 @@ class PackedConvOp:
             kw = dict(ssum=self.ssum, sum_arr=sum_arr)
         if operands is None:
             operands = self._cache.for_call(arrs[0])
+        if self.pool2:
+            kw["pool2"] = True
         return _packed_call(self.cfg, self.sins, self.sout,
                             arrs, *operands, **kw)
 
@@ -857,7 +903,8 @@ class PackedConvOp:
         arrs = {k: np.asarray(v) for k, v in
                 zip(self._OPERAND_KEYS, self._operands)}
         np.savez(path, __cfg__=dump_configs(**specs),
-                 __n_sins__=np.int64(len(self.sins)), **arrs)
+                 __n_sins__=np.int64(len(self.sins)),
+                 __pool2__=np.bool_(self.pool2), **arrs)
 
     @classmethod
     def load(cls, path: str) -> "PackedConvOp":
@@ -877,6 +924,7 @@ class PackedConvOp:
         op.cfg = cfgs["cfg"]
         op.cfg_orig = cfgs.get("cfg_orig")
         op.ssum = cfgs.get("ssum")
+        op.pool2 = bool(data["__pool2__"]) if "__pool2__" in data else False
         op.sins = tuple(cfgs[f"sin{i}"] for i in range(n_sins))
         op.sin = op.sins[0]
         op.sout = cfgs["sout"]

@@ -115,23 +115,22 @@ def main():
         want = pool_ref(conv_ref(cfg, src, wei, bia), pc)
         if args.packed:
             # packed-domain formulation (VERDICT r3 #3a): byte-shift
-            # single-dot conv kernel + packed_maxpool2, no per-op prep
+            # single-dot conv kernel with the 2x2/s2 max pool fused into
+            # its epilogue (pool2=True) — ONE kernel, no per-op prep
+            # pass, and halo_out=0 keeps the M row count identical to
+            # the dense ConvPoolOp's (the halved output keeps halo 0)
             from deepfusion_tpu.ops.packed import (PackedConvOp,
-                                                   PackedSpec,
-                                                   packed_maxpool2,
                                                    pack_image,
                                                    unpack_image)
-            pop = PackedConvOp(cfg, wei, bia, col_off_out=2, halo_out=2)
+            pop = PackedConvOp(cfg, wei, bia, col_off_out=2, halo_out=0,
+                               pool2=True)
             x = jax.device_put(pack_image(src, pop.sin))
             aux = op_aux(pop)
 
             def fn(z, a):
-                return packed_maxpool2(pop(z, operands=a), pop.sout)[0]
+                return pop(z, operands=a)
 
-            s = pop.sout
-            out_spec = PackedSpec(h=s.h // 2, w=s.w // 2, c=s.c, cp=s.cp,
-                                  halo=s.halo // 2, col_off=s.col_off // 2,
-                                  iwp=s.iwp // 2)
+            out_spec = pop.sout_pooled
             tag = tag + "_packed"
             got = unpack_image(np.asarray(jax.jit(fn)(x, aux)), out_spec)
         else:

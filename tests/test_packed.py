@@ -399,3 +399,66 @@ def test_packed_conv_large_tap_shifts(off_in, off_out, rng):
     out = pop(pack_image(src, pop.sin))
     compare(unpack_image(np.asarray(out), pop.sout), expect,
             f"packed conv tap shifts {ds}")
+
+
+@pytest.mark.parametrize("fused,halo_out", [(False, 2), (True, 2),
+                                            (False, 0)])
+def test_packed_conv_pool2_epilogue(fused, halo_out, rng):
+    """Fused 2x2/s2 max pool in the packed conv epilogue == the separate
+    packed_maxpool2 kernel on the conv output (itself oracle-tested), for
+    deep and ZERO output halos (halo_out=0 is the dense-M-parity config
+    used by the reference-scale VGG rows)."""
+    from deepfusion_tpu.ops.packed import packed_maxpool2
+    hw = 12
+    cfg, src, wei, bia0, wei1, bia1 = build_cfg(
+        2, 32, hw, 32, 1, oc1=32 if fused else None, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=max(halo_out + 1, 1),
+                          col_off=2, iwp=16)
+    op_ref = PackedConvOp(cfg, wei, bia0, wei1, bia1, sin=sin,
+                          col_off_out=2, halo_out=halo_out)
+    op_fused = PackedConvOp(cfg, wei, bia0, wei1, bia1, sin=sin,
+                            col_off_out=2, halo_out=halo_out, pool2=True)
+    x = pack_image(src, sin)
+    want, want_spec = packed_maxpool2(op_ref(x), op_ref.sout)
+    got = np.asarray(op_fused(x))
+    assert op_fused.sout_pooled == want_spec
+    np.testing.assert_array_equal(got, np.asarray(want))
+    # the pooled output is itself a valid packed image
+    s = want_spec
+    img = got.reshape(2, s.rows, s.iwp, s.cp)
+    assert (img[:, :s.halo] == -128).all()
+    assert (img[:, :, :s.col_off] == -128).all()
+    assert (img[:, :, s.col_off + s.w:] == -128).all()
+
+
+def test_packed_conv_pool2_with_sum(rng):
+    from deepfusion_tpu.ops.packed import packed_maxpool2
+    mb, hw, ic, oc = 2, 12, 32, 32
+    cfg, src, wei, bia0, wei1, bia1 = _sum_cfg(mb, hw, ic, oc, None, rng)
+    sin = PackedSpec.make(hw, hw, ic, halo=2, col_off=2, iwp=16)
+    ssum = PackedSpec.make(hw, hw, oc, halo=2, col_off=2, iwp=16)
+    sum_img = fill_data((mb, hw, hw, oc), "u8", rng)
+    sum_arr = pack_image(sum_img, ssum)
+    op_ref = PackedConvOp(cfg, wei, bia0, sin=sin, col_off_out=2,
+                          halo_out=2, sum_spec=ssum)
+    op_fused = PackedConvOp(cfg, wei, bia0, sin=sin, col_off_out=2,
+                            halo_out=2, sum_spec=ssum, pool2=True)
+    x = pack_image(src, sin)
+    want, _ = packed_maxpool2(op_ref(x, sum_arr), op_ref.sout)
+    np.testing.assert_array_equal(np.asarray(op_fused(x, sum_arr)),
+                                  np.asarray(want))
+
+
+def test_packed_conv_pool2_save_load(tmp_path, rng):
+    cfg, src, wei, bia0, wei1, bia1 = build_cfg(1, 32, 12, 32, 1, oc1=32,
+                                                rng=rng)
+    sin = PackedSpec.make(12, 12, 32, halo=2, col_off=2, iwp=16)
+    op = PackedConvOp(cfg, wei, bia0, wei1, bia1, sin=sin, col_off_out=2,
+                      halo_out=2, pool2=True)
+    x = pack_image(src, sin)
+    want = np.asarray(op(x))
+    path = str(tmp_path / "pp.npz")
+    op.save(path)
+    reloaded = PackedConvOp.load(path)
+    assert reloaded.pool2
+    np.testing.assert_array_equal(np.asarray(reloaded(x)), want)
