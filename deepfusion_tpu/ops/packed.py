@@ -361,26 +361,22 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
         sum_rounded = round_f32(
             sv.astype(jnp.float32) * np.float32(cfg.sum_scale), fin_round)
 
-    def store(y):
-        if not pool2:
-            out_ref[0] = y
-            return
-        # fused 2x2/s2 max pool on the packed s8 tile (the dense
-        # convpool epilogue's packed twin): max commutes with the -128
-        # centering AND with the monotone saturate, so pooling the
-        # already-saturated s8 values is bit-identical to the dense
-        # pool(conv(...)) composition; non-image slots pool among
-        # -128s and stay -128, keeping the halved output a valid
-        # packed image (packed_maxpool2 legality, enforced by
-        # validate_packed_conv pool2 checks)
-        # pairwise elementwise maximum, not an axis reduction — Mosaic
-        # has no int8 reductions (and this keeps the data int8 end to
-        # end, unlike the standalone pool kernel's int32 widening)
+    # fused 2x2/s2 max pool (pool2): pool the final clamped f32 u8-domain
+    # values INSIDE the requant epilogue, before the byte pack — bit-
+    # identical to packed_maxpool2 on the conv output (the pack is
+    # monotone; pad slots hold u8 zero; 2x2 windows never straddle
+    # image/pad boundaries because halo and col_off are even) and the
+    # only formulation Mosaic takes (no int8 max exists). Also shrinks
+    # the pack work 4x.
+    pool_fn = None
+    if pool2:
         T2, iw2 = T // 2, iwp // 2
-        x4 = y.reshape(T2, 2, iw2, 2, y.shape[-1])
-        p = jnp.maximum(jnp.maximum(x4[:, 0, :, 0], x4[:, 0, :, 1]),
-                        jnp.maximum(x4[:, 1, :, 0], x4[:, 1, :, 1]))
-        out_ref[0] = p.reshape(T2 * iw2, y.shape[-1])
+
+        def pool_fn(xf):
+            x4 = xf.reshape(T2, 2, iw2, 2, xf.shape[-1])
+            p = jnp.maximum(jnp.maximum(x4[:, 0, :, 0], x4[:, 0, :, 1]),
+                            jnp.maximum(x4[:, 1, :, 0], x4[:, 1, :, 1]))
+            return p.reshape(T2 * iw2, xf.shape[-1])
 
     def epilogue(acc_t):
         if cfg.fuse_conv1x1:
@@ -389,15 +385,15 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
                 scale0_ref[...], cfg.conv0_round)
             acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
             acc1 = acc1 + corr1_ref[...]
-            store(requant_to_u8_centered(
+            out_ref[0] = requant_to_u8_centered(
                 acc1, bias1_ref[...] if cfg.conv1_with_bias else None,
                 scale1_ref[...], cfg.conv1_round, zero_mask=maskf,
-                sum_rounded=sum_rounded))
+                sum_rounded=sum_rounded, pool_fn=pool_fn)
         else:
-            store(requant_to_u8_centered(
+            out_ref[0] = requant_to_u8_centered(
                 acc_t, bias0_ref[...] if cfg.conv0_with_bias else None,
                 scale0_ref[...], cfg.conv0_round, zero_mask=maskf,
-                sum_rounded=sum_rounded))
+                sum_rounded=sum_rounded, pool_fn=pool_fn)
 
     epilogue(acc)
 

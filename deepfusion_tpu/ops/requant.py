@@ -117,7 +117,7 @@ def requant(acc_s32, bias_f32, scale_f32, with_relu: bool,
 
 
 def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
-                           zero_mask=None, sum_rounded=None):
+                           zero_mask=None, sum_rounded=None, pool_fn=None):
     """Fused-path epilogue: requantize to u8 then shift to s8 (x - 128) for
     the next int8 matmul. ReLU is always applied (``:275-277`` — the fused
     intermediate is always u8). Returns int8 values in [-128, 127].
@@ -134,6 +134,13 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
     packed-domain sum post-op is bit-identical to the dense one. The main
     term must be rounded *before* the join, so the magic-add shortcut
     (which rounds and extracts in one step) does not apply here.
+
+    pool_fn (optional): shape-reducing max pool applied to the FINAL
+    clamped f32 values right before the byte pack. In the u8 value
+    domain (>= 0 after ReLU; pad slots hold 0.0 = u8 zero) the f32 max
+    equals the post-pack s8 max (the pack is monotone), so pooling here
+    is bit-identical to pooling the packed output — and Mosaic has no
+    int8 max anyway. Also shrinks the pack work by the pool factor.
     """
     x = acc_s32.astype(jnp.float32)
     if bias_f32 is not None:
@@ -148,6 +155,8 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
         x = round_f32(x, mode) + sum_rounded
         x = jnp.maximum(x, 0.0)
         x = jnp.minimum(x, 255.0)
+        if pool_fn is not None:
+            x = pool_fn(x)
         # magic add with the -128 shift folded into the constant: low
         # byte of the pattern is (v + 128) mod 256 == v ^ 128, the
         # centered-s8 encoding, and the truncating convert keeps it
@@ -172,6 +181,8 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
         # by the full-range differential tests (tests/test_packed.py,
         # tests/test_fused.py).
         x = jnp.minimum(x, 255.0)
+        if pool_fn is not None:
+            x = pool_fn(x)
         bits = jax.lax.bitcast_convert_type(
             x + jnp.float32(_MAGIC + 128.0), jnp.int32)
         return bits.astype(jnp.int8)
@@ -179,5 +190,7 @@ def requant_to_u8_centered(acc_s32, bias_f32, scale_f32, mode: round_mode,
     # and >= 0, so -128 is exact in f32 and one min replaces the clamp
     # pair; the i32->i8 cast needs no saturation)
     x = round_f32(x, mode)
+    if pool_fn is not None:
+        x = pool_fn(x)
     x = jnp.minimum(x - 128.0, 127.0)
     return x.astype(jnp.int32).astype(jnp.int8)
