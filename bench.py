@@ -388,6 +388,12 @@ def bench_model(args):
                                               hw=args.model_hw or 64,
                                               in_ch=32, width=128,
                                               num_classes=128))
+    elif args.model == "vggfusion":
+        from deepfusion_tpu.models import VGGFusion, VGGFusionConfig
+        net = VGGFusion(VGGFusionConfig(batch=args.batch,
+                                        hw=args.model_hw or 56,
+                                        in_ch=32, width=64,
+                                        num_classes=128))
     else:
         from deepfusion_tpu.models import FusionNet, FusionNetConfig
         net = FusionNet(FusionNetConfig(batch=args.batch,
@@ -402,7 +408,7 @@ def bench_model(args):
     # halves images to w=32, where the fixed 2*halo+col_off columns are a
     # 50% M-row tax, iwp=48 for w=32). Crossover is near w=56; --packed /
     # --dense force either path.
-    use_packed = args.packed or (args.model == "fusionnet"
+    use_packed = args.packed or (args.model in ("fusionnet", "vggfusion")
                                  and not args.dense)
     fwd = net.packed_call if use_packed else net.__call__
 
@@ -605,8 +611,10 @@ def main():
                    help="model: time the layout-persistent packed path "
                         "instead of the dense op-by-op path")
     p.add_argument("--model", default="fusionnet",
-                   choices=["fusionnet", "resfusion"],
-                   help="model: which model family to time")
+                   choices=["fusionnet", "resfusion", "vggfusion"],
+                   help="model: which model family to time (vggfusion's "
+                        "packed path = one pool2 megakernel per "
+                        "conv-conv-pool block)")
     p.add_argument("--model-hw", type=int, default=None,
                    help="model: input image side (default 56 fusionnet / "
                         "64 resfusion). The packed path's halo columns are "

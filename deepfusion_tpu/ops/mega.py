@@ -133,7 +133,10 @@ def validate_packed_pair(cfg_a: ConvConfig, cfg_b: ConvConfig,
         cfg_a, cfg_b, sin, smid, sout, T)
     nt = sout.rows // T
     check(sin.rows >= L1, "input too short for one megakernel window")
-    check(off_top <= T2 and off_bot <= T2,
+    # the static roll fires only at the extreme tiles, so the window
+    # clamp must not engage anywhere else: s1u(1) = T - off_top and
+    # s1u(nt-2) = s1max - off_bot must already be in bounds
+    check(off_top <= T and off_bot <= T,
           "row_tile smaller than boundary overlap")
     if off_top or off_bot:
         check(nt >= 2, "boundary rolls need at least two row tiles")
@@ -148,9 +151,11 @@ def validate_packed_pair(cfg_a: ConvConfig, cfg_b: ConvConfig,
               "bottom boundary garbage would reach intermediate image rows")
 
 
-def _epilogue_u8(cfg: ConvConfig, acc, operands, mask):
+def _epilogue_u8(cfg: ConvConfig, acc, operands, mask, pool_fn=None):
     """Layer epilogue: requant (+ fused 1x1) to centered u8, mask applied
-    at the FINAL stage so the result is a valid packed image tile."""
+    at the FINAL stage so the result is a valid packed image tile.
+    pool_fn (layer b only): fused 2x2/s2 max pool on the clamped f32
+    u8-domain values before the byte pack (ops/packed.py pool2)."""
     if cfg.fuse_conv1x1:
         (w1, corr1, bias1, scale1) = operands[4:8]
         x1 = requant_to_u8_centered(
@@ -160,10 +165,10 @@ def _epilogue_u8(cfg: ConvConfig, acc, operands, mask):
         acc1 = acc1 + corr1[...]
         return requant_to_u8_centered(
             acc1, bias1[...] if cfg.conv1_with_bias else None,
-            scale1[...], cfg.conv1_round, zero_mask=mask)
+            scale1[...], cfg.conv1_round, zero_mask=mask, pool_fn=pool_fn)
     return requant_to_u8_centered(
         acc, operands[2][...] if cfg.conv0_with_bias else None,
-        operands[3][...], cfg.conv0_round, zero_mask=mask)
+        operands[3][...], cfg.conv0_round, zero_mask=mask, pool_fn=pool_fn)
 
 
 def _tap_dot(patch, cfg: ConvConfig, si: PackedSpec, so: PackedSpec,
@@ -245,7 +250,7 @@ def _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp):
 
 def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
                  sin: PackedSpec, smid: PackedSpec, sout: PackedSpec,
-                 split_kh: bool = False):
+                 split_kh: bool = False, pool2: bool = False):
     na = 8 if cfg_a.fuse_conv1x1 else 4
     ops_a, refs = refs[:na], refs[na:]
     nb = 8 if cfg_b.fuse_conv1x1 else 4
@@ -295,14 +300,26 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
         acc_b = _tap_dot(patch_b, cfg_b, smid, sout, ops_b[0], ops_b[1],
                          interp)
     mask_out = _image_mask(m, iwp, t * T, sout)
-    out_ref[0] = _epilogue_u8(cfg_b, acc_b, ops_b, mask_out)
+    pool_fn = None
+    if pool2:
+        T2p, iw2 = T // 2, iwp // 2
+
+        def pool_fn(xf):
+            x4 = xf.reshape(T2p, 2, iw2, 2, xf.shape[-1])
+            p = jnp.maximum(jnp.maximum(x4[:, 0, :, 0], x4[:, 0, :, 1]),
+                            jnp.maximum(x4[:, 1, :, 0], x4[:, 1, :, 1]))
+            return p.reshape(T2p * iw2, xf.shape[-1])
+
+    out_ref[0] = _epilogue_u8(cfg_b, acc_b, ops_b, mask_out,
+                              pool_fn=pool_fn)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_a", "cfg_b", "sin",
-                                             "smid", "sout", "split_kh"))
+                                             "smid", "sout", "split_kh",
+                                             "pool2"))
 def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
                smid: PackedSpec, sout: PackedSpec, arr, *operands,
-               split_kh: bool = False):
+               split_kh: bool = False, pool2: bool = False):
     n = arr.shape[0]
     T = cfg_b.row_tile
     iwp = sin.iwp
@@ -336,6 +353,16 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
     ocp_mid = cfg_a.oc1x1p if cfg_a.fuse_conv1x1 else cfg_a.ocp
     scratch = [pltpu.VMEM((m2, ocp_mid), jnp.int8)]
 
+    if pool2:
+        m_out = (T // 2) * (iwp // 2)
+        out_shape = (n, (sout.rows // 2) * (iwp // 2), ocp_out)
+        out_spec = pl.BlockSpec((1, m_out, ocp_out),
+                                lambda b, t: (b, t, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        m_out = m
+        out_shape = sout.array_shape(n)
+
     def layer_flops(cfg, rows):
         f = 2 * rows * cfg.kh * cfg.kw * cfg.icp * cfg.ocp
         if cfg.fuse_conv1x1:
@@ -343,14 +370,14 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
         return f
 
     flops = layer_flops(cfg_a, m2) + layer_flops(cfg_b, m)
-    nbytes = (sin.rows * iwp * sin.cp // max(grid[1], 1) + m * ocp_out)
+    nbytes = (sin.rows * iwp * sin.cp // max(grid[1], 1) + m_out * ocp_out)
     operands = [op.reshape(1, -1) if op.ndim == 1 else op
                 for op in operands]
     return pl.pallas_call(
         functools.partial(_pair_kernel, cfg_a=cfg_a, cfg_b=cfg_b,
                           sin=sin, smid=smid, sout=sout,
-                          split_kh=split_kh),
-        out_shape=jax.ShapeDtypeStruct(sout.array_shape(n), jnp.int8),
+                          split_kh=split_kh, pool2=pool2),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
@@ -382,7 +409,7 @@ class PackedConvPairOp:
                  weights_b, sin: PackedSpec = None,
                  halo_out: int = None, col_off_out: int = None,
                  halo_mid: int = None, row_tile: int = None,
-                 split_kh: bool = False):
+                 split_kh: bool = False, pool2: bool = False):
         from . import layout
         cfg_a = _narrow_cfg(cfg_a)
         cfg_b = _narrow_cfg(cfg_b)
@@ -418,7 +445,7 @@ class PackedConvPairOp:
         budget = 24 * 2 ** 20
         cands = []
         for d in range(1, sout.rows + 1):
-            if sout.rows % d:
+            if sout.rows % d or (pool2 and d % 2):
                 continue
             m, m2 = d * sin.iwp, (d + cfg_b.kh - 1) * sin.iwp
             if m > 8192 or m2 * kda + m * kdb > budget:
@@ -426,7 +453,7 @@ class PackedConvPairOp:
             cfg_b_t = dataclasses.replace(cfg_b, row_tile=d)
             off_top, off_bot, _, _, T2, L1 = _pair_offs(
                 cfg_a, cfg_b_t, sin, smid, sout, d)
-            if sin.rows < L1 or off_top > T2 or off_bot > T2:
+            if sin.rows < L1 or off_top > d or off_bot > d:
                 continue
             if (off_top or off_bot) and sout.rows // d < 2:
                 continue
@@ -438,9 +465,13 @@ class PackedConvPairOp:
         cfg_b = dataclasses.replace(cfg_b,
                                     row_tile=row_tile or cands[-1])
         validate_packed_pair(cfg_a, cfg_b, sin, smid, sout)
+        if pool2:
+            from .packed import validate_packed_maxpool2
+            validate_packed_maxpool2(sout)
         self.cfg_a, self.cfg_b = cfg_a, cfg_b
         self.sin, self.smid, self.sout = sin, smid, sout
         self.split_kh = split_kh
+        self.pool2 = pool2
         self._cache = OperandCache(
             self._pack_layer(cfg_a, weights_a, split_kh)
             + self._pack_layer(cfg_b, weights_b, split_kh))
@@ -465,6 +496,14 @@ class PackedConvPairOp:
     def _operands(self):
         return self._cache.host
 
+    @property
+    def sout_pooled(self) -> PackedSpec:
+        """Output spec of the fused pool2 epilogue (valid when pool2)."""
+        s = self.sout
+        return PackedSpec(h=s.h // 2, w=s.w // 2, c=s.c, cp=s.cp,
+                          halo=s.halo // 2, col_off=s.col_off // 2,
+                          iwp=s.iwp // 2)
+
     def pack_input(self, src_u8, xp=np):
         return pack_image(src_u8, self.sin, xp=xp)
 
@@ -479,7 +518,7 @@ class PackedConvPairOp:
             operands = self._cache.for_call(arr)
         return _pair_call(self.cfg_a, self.cfg_b, self.sin, self.smid,
                           self.sout, arr, *operands,
-                          split_kh=self.split_kh)
+                          split_kh=self.split_kh, pool2=self.pool2)
 
     # --- packed-weight persistence (mirrors PackedConvOp.save/load) ---
 
@@ -494,7 +533,8 @@ class PackedConvPairOp:
         np.savez(path, __cfg__=dump_configs(
             cfg_a=self.cfg_a, cfg_b=self.cfg_b, sin=self.sin,
             smid=self.smid, sout=self.sout),
-            __split_kh__=np.bool_(self.split_kh), **arrs)
+            __split_kh__=np.bool_(self.split_kh),
+            __pool2__=np.bool_(self.pool2), **arrs)
 
     @classmethod
     def load(cls, path: str) -> "PackedConvPairOp":
@@ -508,6 +548,7 @@ class PackedConvPairOp:
         op.sin, op.smid, op.sout = cfgs["sin"], cfgs["smid"], cfgs["sout"]
         op.split_kh = bool(data["__split_kh__"]) \
             if "__split_kh__" in data else False
+        op.pool2 = bool(data["__pool2__"]) if "__pool2__" in data else False
         na = 8 if op.cfg_a.fuse_conv1x1 else 4
         nb = 8 if op.cfg_b.fuse_conv1x1 else 4
         op._cache = OperandCache(

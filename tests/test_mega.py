@@ -159,3 +159,69 @@ def test_pair_save_load_roundtrip(tmp_path, split_kh, rng):
     assert (reloaded.sin, reloaded.smid, reloaded.sout) == \
            (pair.sin, pair.smid, pair.sout)
     np.testing.assert_array_equal(np.asarray(reloaded(x)), want)
+
+
+@pytest.mark.parametrize("split_kh", [False, True])
+def test_pair_pool2_epilogue(split_kh, rng):
+    """Megakernel with the fused 2x2/s2 max pool on layer b's output ==
+    packed_maxpool2 of the plain pair's output (a VGG block:
+    conv3x3 -> conv3x3 -> pool in ONE Pallas program)."""
+    from deepfusion_tpu.ops.packed import packed_maxpool2
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=2, col_off=2, iwp=16)
+    plain = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin,
+                             halo_out=2, col_off_out=2, split_kh=split_kh)
+    pooled = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin,
+                              halo_out=2, col_off_out=2,
+                              split_kh=split_kh, pool2=True)
+    x = pack_image(src, sin)
+    want, want_spec = packed_maxpool2(plain(x), plain.sout)
+    got = np.asarray(pooled(x))
+    assert pooled.sout_pooled == want_spec
+    np.testing.assert_array_equal(got, np.asarray(want))
+
+
+def test_pair_pool2_save_load(tmp_path, rng):
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=2, col_off=2, iwp=16)
+    op = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                          cfg_b, (wb, bb, wb1, bb1), sin=sin,
+                          halo_out=2, col_off_out=2, pool2=True)
+    x = pack_image(src, sin)
+    want = np.asarray(op(x))
+    path = str(tmp_path / "pairpool.npz")
+    op.save(path)
+    reloaded = PackedConvPairOp.load(path)
+    assert reloaded.pool2
+    np.testing.assert_array_equal(np.asarray(reloaded(x)), want)
+
+
+def test_pair_tight_geometry_shallow_to_deep_halo(rng):
+    """Regression: halo_in < halo_out on a tiny image. The clamp must
+    never engage on middle tiles (off <= row_tile bound) — before the
+    fix this geometry picked T=2 with off_top=3 and silently corrupted
+    every interior row (VGGFusion block 3)."""
+    hw = 4
+    cfg_a, src, wa, ba, *_ = build_cfg(1, 32, hw, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(1, 32, hw, 32, 1, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=1, col_off=1, iwp=16)
+    try:
+        pair = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb),
+                                sin=sin, halo_out=2, col_off_out=2)
+    except CheckError:
+        return          # clean rejection is acceptable
+    op_a = PackedConvOp(cfg_a, wa, ba, sin=pair.sin,
+                        halo_out=pair.smid.halo,
+                        col_off_out=pair.smid.col_off)
+    op_b = PackedConvOp(cfg_b, wb, bb, sin=pair.smid,
+                        halo_out=pair.sout.halo,
+                        col_off_out=pair.sout.col_off)
+    x = pack_image(src, pair.sin)
+    np.testing.assert_array_equal(np.asarray(pair(x)),
+                                  np.asarray(op_b(op_a(x))))

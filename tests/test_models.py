@@ -132,3 +132,37 @@ def test_packed_build_under_trace():
     a = float(chain(2)(x0))   # first trace builds the packed pipeline
     b = float(chain(2)(x0))   # second trace reuses the cached ops
     assert a == b
+
+
+# ----- VGGFusion: megakernel blocks (ops/mega.py pool2) -----
+
+def _vgg_net():
+    from deepfusion_tpu.models import VGGFusion, VGGFusionConfig
+    return VGGFusion(VGGFusionConfig(batch=2, hw=16, in_ch=16, width=32,
+                                     num_classes=16))
+
+
+def test_vggfusion_forward_shape():
+    net = _vgg_net()
+    out = np.asarray(net(net.example_input()))
+    assert out.shape == (2, 16)
+    assert out.dtype == np.float32
+    assert np.abs(out).sum() > 0
+
+
+def test_vggfusion_packed_path_bit_identical():
+    """The 3-megakernel packed forward (one Pallas program per
+    conv-conv-pool block) must equal the dense ConvOp+ConvPoolOp
+    forward bitwise."""
+    net = _vgg_net()
+    x = net.example_input()
+    dense = np.asarray(net(x))
+    packed = np.asarray(net.packed_call(x))
+    np.testing.assert_array_equal(dense, packed)
+
+
+def test_vggfusion_packed_under_jit():
+    net = _vgg_net()
+    x = net.example_input()
+    np.testing.assert_array_equal(np.asarray(net.jit_packed()(x)),
+                                  np.asarray(net(x)))
