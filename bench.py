@@ -400,15 +400,17 @@ def bench_model(args):
                                         hw=args.model_hw or 56, in_ch=32,
                                         width=128, num_classes=128))
     x0 = jax.device_put(net.example_input())
-    # Default path per model family, from the round-3 on-chip measurement
-    # (artifacts/MODEL_r03.json): the layout-persistent packed path WINS on
-    # FusionNet (0.255 vs 0.286 ms at hw=56 — the halo columns pad 56->64
-    # exactly like dense's own width padding, so packing is pure savings),
-    # and LOSES on ResFusionNet (0.142 vs 0.101 ms — its strided stem
-    # halves images to w=32, where the fixed 2*halo+col_off columns are a
-    # 50% M-row tax, iwp=48 for w=32). Crossover is near w=56; --packed /
-    # --dense force either path.
-    use_packed = args.packed or (args.model in ("fusionnet", "vggfusion")
+    # Default path per model family, from on-chip measurements
+    # (artifacts/MODEL_r03/r04.json): the layout-persistent packed path
+    # WINS on FusionNet (0.263 vs 0.286 ms at hw=56 — the halo columns
+    # pad 56->64 exactly like dense's own width padding, so packing is
+    # pure savings), and LOSES on ResFusionNet (0.142 vs 0.101 ms —
+    # strided stem halves images to w=32 where halo columns are a 50%
+    # M-row tax) and on VGGFusion (0.132 vs 0.112 ms — three pooling
+    # stages shrink images to 7x7 where halo rows/cols dominate, and
+    # the megakernel's per-tile recompute bites at tiny T). Crossover
+    # is near w=56; --packed / --dense force either path.
+    use_packed = args.packed or (args.model == "fusionnet"
                                  and not args.dense)
     fwd = net.packed_call if use_packed else net.__call__
 
