@@ -43,6 +43,7 @@ def _rebatched_op(op, bs: int):
     import copy
     from ..ops.conv import ConvOp
     from ..ops.convpool import ConvPoolOp
+    from ..ops.mega import PackedConvPairOp
     from ..ops.packed import PackedConvOp
     clone = copy.copy(op)
     if isinstance(op, ConvOp):
@@ -51,7 +52,7 @@ def _rebatched_op(op, bs: int):
     elif isinstance(op, ConvPoolOp):
         clone.cfg = _rebatch(op.cfg, bs)
         clone.cfg_orig = _rebatch(op.cfg_orig, bs)
-    elif isinstance(op, PackedConvOp):
+    elif isinstance(op, (PackedConvOp, PackedConvPairOp)):
         pass                    # batch derived from the array shape
     else:
         check(False, f"dp_shard does not support {type(op).__name__}")
@@ -62,22 +63,25 @@ def dp_shard(op, mesh: Mesh, axis: str = "dp"):
     """Wrap an op so the batch dim is sharded over `axis`.
 
     Supports every repeated-submission op family — ``ConvOp`` (incl.
-    strided s2d and sum post-op configs), ``ConvPoolOp``, and
+    strided s2d and sum post-op configs), ``ConvPoolOp``,
     ``PackedConvOp`` (incl. multi-input branch merges and packed sum
-    operands). Weights are replicated; no collectives — the TPU analogue
-    of the reference's OpenMP split over the batch dim
-    (src/op_conv.cc:39-47). The returned callable takes the op's usual
-    arguments (``src`` and, for sum configs, ``sum_src``), each sharded
-    on the batch dim.
+    operands), and the ``PackedConvPairOp`` megakernel. Weights are
+    replicated; no collectives — the TPU analogue of the reference's
+    OpenMP split over the batch dim (src/op_conv.cc:39-47). The
+    returned callable takes the op's usual arguments (``src`` and, for
+    sum configs, ``sum_src``), each sharded on the batch dim.
     """
+    from ..ops.mega import PackedConvPairOp
     from ..ops.packed import PackedConvOp
-    cfg = op.cfg
+    is_pair = isinstance(op, PackedConvPairOp)
+    cfg = op.cfg_a if is_pair else op.cfg
     n_shard = mesh.shape[axis]
     check(cfg.bs % n_shard == 0, f"batch {cfg.bs} not divisible by {axis}")
     local = _rebatched_op(op, cfg.bs // n_shard)
-    packed = isinstance(op, PackedConvOp)
-    n_in = len(op.sins) if packed else 1
-    has_sum = op.ssum is not None if packed else cfg.with_sum
+    packed = isinstance(op, PackedConvOp) or is_pair
+    n_in = len(op.sins) if isinstance(op, PackedConvOp) else 1
+    has_sum = False if is_pair else (
+        op.ssum is not None if packed else cfg.with_sum)
     rank = 3 if packed else 4           # packed arrays are (n, rows*iwp, cp)
     spec = P(axis, *([None] * (rank - 1)))
 

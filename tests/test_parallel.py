@@ -417,3 +417,19 @@ def test_sp_conv_rejects_non_convop(rng):
     op = PackedConvOp(cfg, wei, bia, wei1, bia1)
     with pytest.raises(CheckError):
         sp_conv(op, make_mesh(sp=2))
+
+
+def test_dp_shard_pair_megakernel(rng):
+    need_devices(2)
+    from deepfusion_tpu.ops.mega import PackedConvPairOp
+    from deepfusion_tpu.ops.packed import PackedSpec, pack_image
+    from test_packed import build_cfg
+    hw = 12
+    cfg_a, src, wa, ba, *_ = build_cfg(4, 32, hw, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(4, 32, hw, 32, 1, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=2, col_off=2, iwp=16)
+    pair = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin,
+                            halo_out=2, col_off_out=2, pool2=True)
+    x = pack_image(src, sin)
+    out = dp_shard(pair, make_mesh(dp=2))(x)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(pair(x)))
