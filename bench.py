@@ -167,22 +167,32 @@ def _median_sec(diffs):
     return max(s[len(s) // 2], 1e-12)
 
 
+def _partial_result():
+    """The JSON line a mid-run interruption should print: the median of
+    completed reps flagged partial, or a zero-valued note line when the
+    signal lands before the first measurement. None if the full result
+    already printed."""
+    if _PARTIAL["done"]:                      # full line already printed
+        return None
+    builder, diffs = _PARTIAL["builder"], _PARTIAL["diffs"]
+    if builder is not None and diffs:
+        result = builder(_median_sec(diffs))
+        result.update(partial=True, reps_completed=len(diffs))
+        return result
+    return {"metric": "fused_conv3x3_1x1_int8_roofline_pct",
+            "value": 0.0, "unit": "%", "vs_baseline": 0.0,
+            "partial": True, "reps_completed": 0,
+            "note": "timeout before first measurement"}
+
+
 def _emit_partial(signum, frame):
     """SIGTERM/SIGINT/SIGALRM: print a parseable JSON line from whatever
     reps completed, flagged partial, then exit. `timeout N python bench.py`
     therefore always yields a number once at least one rep (or nothing but
     a note, if the signal lands mid-compile) exists."""
-    if _PARTIAL["done"]:                      # full line already printed
+    result = _partial_result()
+    if result is None:
         raise SystemExit(0)
-    builder, diffs = _PARTIAL["builder"], _PARTIAL["diffs"]
-    if builder is not None and diffs:
-        result = builder(_median_sec(diffs))
-        result.update(partial=True, reps_completed=len(diffs))
-    else:
-        result = {"metric": "fused_conv3x3_1x1_int8_roofline_pct",
-                  "value": 0.0, "unit": "%", "vs_baseline": 0.0,
-                  "partial": True, "reps_completed": 0,
-                  "note": "timeout before first measurement"}
     print(json.dumps(result), flush=True)
     os._exit(0)
 
