@@ -115,7 +115,12 @@ def make_chain(step_fn, with_aux=False):
 # Incremental measurement state consulted by the timeout handler
 # (VERDICT r3 #8): every completed rep lands here, so a driver timeout
 # degrades the reported number's precision instead of erasing it.
-_PARTIAL = {"diffs": [], "iters": 0, "builder": None, "done": False}
+# "result" freezes a COMPLETED primary measurement: once a bench's main
+# timeit_chain finishes, later auxiliary chains (e.g. the --compare-xla
+# baseline) overwrite "diffs", and an interrupt must emit the frozen
+# result, never the auxiliary diffs under the primary metric (r4 ADVICE).
+_PARTIAL = {"diffs": [], "iters": 0, "builder": None, "done": False,
+            "result": None}
 
 
 def timeit_chain(step_fn, x0, iters, reps=5, spread_s=10.0, aux=None):
@@ -174,14 +179,24 @@ def _partial_result():
     already printed."""
     if _PARTIAL["done"]:                      # full line already printed
         return None
+    if _PARTIAL["result"] is not None:        # primary measurement done;
+        return _PARTIAL["result"]             # interrupt hit an aux chain
     builder, diffs = _PARTIAL["builder"], _PARTIAL["diffs"]
     if builder is not None and diffs:
         result = builder(_median_sec(diffs))
         result.update(partial=True, reps_completed=len(diffs))
         return result
-    return {"metric": "fused_conv3x3_1x1_int8_roofline_pct",
-            "value": 0.0, "unit": "%", "vs_baseline": 0.0,
-            "partial": True, "reps_completed": 0,
+    # before the first measurement: take the ACTIVE bench's metric/unit
+    # from its builder (pure function of sec) instead of hardcoding the
+    # fused headline name (r4 ADVICE: a conv/concat/model interrupt must
+    # not file a zero under the wrong metric)
+    if builder is not None:
+        probe = builder(1.0)
+        metric, unit = probe["metric"], probe["unit"]
+    else:
+        metric, unit = "fused_conv3x3_1x1_int8_roofline_pct", "%"
+    return {"metric": metric, "value": 0.0, "unit": unit,
+            "vs_baseline": 0.0, "partial": True, "reps_completed": 0,
             "note": "timeout before first measurement"}
 
 
@@ -263,6 +278,7 @@ def bench_fused(args):
     aux = tuple(jax.device_put(np.asarray(a)) for a in op._operands)
     sec = timeit_chain(lambda c, a: op(c, operands=a), x, args.iters,
                        aux=aux)
+    _PARTIAL["result"] = builder(sec)   # freeze before any aux chain runs
     ops = 2 * macs / sec
     pct = 100.0 * ops / peak
     imgs = n / sec

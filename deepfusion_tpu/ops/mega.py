@@ -250,15 +250,16 @@ def _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp):
 
 def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
                  sin: PackedSpec, smid: PackedSpec, sout: PackedSpec,
-                 split_kh: bool = False, pool2: bool = False):
+                 split_kh: bool = False, pool2: bool = False,
+                 t_dim: int = 1, msplit: int = 1):
     na = 8 if cfg_a.fuse_conv1x1 else 4
     ops_a, refs = refs[:na], refs[na:]
     nb = 8 if cfg_b.fuse_conv1x1 else 4
     ops_b, out_ref, inter_ref = refs[:nb], refs[nb], refs[nb + 1]
     T = cfg_b.row_tile
     iwp = sin.iwp
-    t = pl.program_id(1)
-    nt = pl.num_programs(1)
+    t = pl.program_id(t_dim)
+    nt = pl.num_programs(t_dim)
     interp = env.interpret_kernels()
     off_top, off_bot, s2u_f, s1u_f, T2, L1 = _pair_offs(
         cfg_a, cfg_b, sin, smid, sout, T)
@@ -289,66 +290,101 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
     # copy per block/tap (measured 72.4% vs 79.7% single-op — slower
     # than not fusing at all)
     inter_ref[...] = _epilogue_u8(cfg_a, acc, ops_a, mask_mid)
+
     # layer b consumes the VMEM-resident intermediate tile directly:
-    # its window start IS s2u, so no clamp and no roll
-    blocks_b = [inter_ref[pl.ds(ki * iwp, m), :] for ki in range(cfg_b.kh)]
-    if split_kh:
-        acc_b = _tap_dot_split(blocks_b, cfg_b, smid, sout, ops_b[0],
-                               ops_b[1], interp)
-    else:
-        patch_b = jnp.concatenate(blocks_b, axis=-1)  # (m, kh_b*icp_b)
-        acc_b = _tap_dot(patch_b, cfg_b, smid, sout, ops_b[0], ops_b[1],
-                         interp)
-    mask_out = _image_mask(m, iwp, t * T, sout)
-    pool_fn = None
-    if pool2:
-        T2p, iw2 = T // 2, iwp // 2
+    # its window start IS s2u, so no clamp and no roll. msplit > 1 runs
+    # layer b in row CHUNKS: chunk ci+1's MXU dot is data-independent of
+    # chunk ci's VPU requant epilogue, so Mosaic can overlap the two
+    # units instead of serializing dot -> epilogue on the whole tile
+    # (the "re-exposed VPU epilogue" term of docs/PERF.md).
+    Tc = T // msplit
+    mc = Tc * iwp
+    for ci in range(msplit):
+        r0 = ci * Tc
+        blocks_b = [inter_ref[pl.ds((r0 + ki) * iwp, mc), :]
+                    for ki in range(cfg_b.kh)]
+        if split_kh:
+            acc_b = _tap_dot_split(blocks_b, cfg_b, smid, sout, ops_b[0],
+                                   ops_b[1], interp)
+        else:
+            patch_b = jnp.concatenate(blocks_b, axis=-1)  # (mc, kh_b*icp_b)
+            acc_b = _tap_dot(patch_b, cfg_b, smid, sout, ops_b[0],
+                             ops_b[1], interp)
+        mask_out = _image_mask(mc, iwp, t * T + r0, sout)
+        pool_fn = None
+        if pool2:
+            T2p, iw2 = Tc // 2, iwp // 2
 
-        def pool_fn(xf):
-            x4 = xf.reshape(T2p, 2, iw2, 2, xf.shape[-1])
-            p = jnp.maximum(jnp.maximum(x4[:, 0, :, 0], x4[:, 0, :, 1]),
-                            jnp.maximum(x4[:, 1, :, 0], x4[:, 1, :, 1]))
-            return p.reshape(T2p * iw2, xf.shape[-1])
+            def pool_fn(xf):
+                x4 = xf.reshape(T2p, 2, iw2, 2, xf.shape[-1])
+                p = jnp.maximum(jnp.maximum(x4[:, 0, :, 0], x4[:, 0, :, 1]),
+                                jnp.maximum(x4[:, 1, :, 0], x4[:, 1, :, 1]))
+                return p.reshape(T2p * iw2, xf.shape[-1])
 
-    out_ref[0] = _epilogue_u8(cfg_b, acc_b, ops_b, mask_out,
-                              pool_fn=pool_fn)
+        val = _epilogue_u8(cfg_b, acc_b, ops_b, mask_out, pool_fn=pool_fn)
+        if msplit == 1:
+            out_ref[0] = val
+        elif pool2:
+            out_ref[0, pl.ds(r0 * iwp // 4, mc // 4), :] = val
+        else:
+            out_ref[0, pl.ds(r0 * iwp, mc), :] = val
 
 
 @functools.partial(jax.jit, static_argnames=("cfg_a", "cfg_b", "sin",
                                              "smid", "sout", "split_kh",
-                                             "pool2"))
+                                             "pool2", "grid_order",
+                                             "msplit"))
 def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
                smid: PackedSpec, sout: PackedSpec, arr, *operands,
-               split_kh: bool = False, pool2: bool = False):
+               split_kh: bool = False, pool2: bool = False,
+               grid_order: str = "bt", msplit: int = 1):
     n = arr.shape[0]
     T = cfg_b.row_tile
     iwp = sin.iwp
     T2 = T + cfg_b.kh - 1
     m, m2 = T * iwp, T2 * iwp
     ocp_out = cfg_b.oc1x1p if cfg_b.fuse_conv1x1 else cfg_b.ocp
-    grid = (n, sout.rows // T)
+    nt = sout.rows // T
+    # grid_order: "bt" iterates row tiles fastest within a batch image
+    # (input block resident for nt steps); "tb" iterates batch fastest
+    # (uniform streaming, nt-times-deeper pipeline per input block) —
+    # measured equivalent at T=32 and probed at T>=64
+    # (scratch/pair_probe.py)
+    if grid_order == "bt":
+        grid = (n, nt)
+        t_dim = 1
+
+        def bt(b, t):
+            return b, t
+    else:
+        grid = (nt, n)
+        t_dim = 0
+
+        def bt(t, b):
+            return b, t
 
     def vec(nlanes):
-        return pl.BlockSpec((1, nlanes), lambda b, t: (0, 0),
+        return pl.BlockSpec((1, nlanes), lambda *ij: (0, 0),
                             memory_space=pltpu.VMEM)
 
     def layer_specs(cfg):
         k_dim = cfg.kh * cfg.kw * cfg.icp
-        specs = [pl.BlockSpec((k_dim, cfg.ocp), lambda b, t: (0, 0),
+        specs = [pl.BlockSpec((k_dim, cfg.ocp), lambda *ij: (0, 0),
                               memory_space=pltpu.VMEM),
                  vec(cfg.ocp), vec(cfg.ocp), vec(cfg.ocp)]
         if cfg.fuse_conv1x1:
             specs += [pl.BlockSpec((cfg.ocp, cfg.oc1x1p),
-                                   lambda b, t: (0, 0),
+                                   lambda *ij: (0, 0),
                                    memory_space=pltpu.VMEM),
                       vec(cfg.oc1x1p), vec(cfg.oc1x1p), vec(cfg.oc1x1p)]
         return specs
 
     in_specs = [pl.BlockSpec((1, sin.rows * iwp, sin.cp),
-                             lambda b, t: (b, 0, 0),
+                             lambda *ij: (bt(*ij)[0], 0, 0),
                              memory_space=pltpu.VMEM)]
     in_specs += layer_specs(cfg_a) + layer_specs(cfg_b)
-    out_spec = pl.BlockSpec((1, m, ocp_out), lambda b, t: (b, t, 0),
+    out_spec = pl.BlockSpec((1, m, ocp_out),
+                            lambda *ij: bt(*ij) + (0,),
                             memory_space=pltpu.VMEM)
     ocp_mid = cfg_a.oc1x1p if cfg_a.fuse_conv1x1 else cfg_a.ocp
     scratch = [pltpu.VMEM((m2, ocp_mid), jnp.int8)]
@@ -357,7 +393,7 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
         m_out = (T // 2) * (iwp // 2)
         out_shape = (n, (sout.rows // 2) * (iwp // 2), ocp_out)
         out_spec = pl.BlockSpec((1, m_out, ocp_out),
-                                lambda b, t: (b, t, 0),
+                                lambda *ij: bt(*ij) + (0,),
                                 memory_space=pltpu.VMEM)
     else:
         m_out = m
@@ -370,13 +406,14 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
         return f
 
     flops = layer_flops(cfg_a, m2) + layer_flops(cfg_b, m)
-    nbytes = (sin.rows * iwp * sin.cp // max(grid[1], 1) + m_out * ocp_out)
+    nbytes = (sin.rows * iwp * sin.cp // max(nt, 1) + m_out * ocp_out)
     operands = [op.reshape(1, -1) if op.ndim == 1 else op
                 for op in operands]
     return pl.pallas_call(
         functools.partial(_pair_kernel, cfg_a=cfg_a, cfg_b=cfg_b,
                           sin=sin, smid=smid, sout=sout,
-                          split_kh=split_kh, pool2=pool2),
+                          split_kh=split_kh, pool2=pool2, t_dim=t_dim,
+                          msplit=msplit),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
         grid=grid,
         in_specs=in_specs,
@@ -409,7 +446,11 @@ class PackedConvPairOp:
                  weights_b, sin: PackedSpec = None,
                  halo_out: int = None, col_off_out: int = None,
                  halo_mid: int = None, row_tile: int = None,
-                 split_kh: bool = False, pool2: bool = False):
+                 split_kh: bool = False, pool2: bool = False,
+                 vmem_budget: int = None, grid_order: str = "bt",
+                 msplit: int = 1):
+        check(grid_order in ("bt", "tb"), "grid_order must be bt or tb")
+        check(msplit >= 1, "msplit must be >= 1")
         from . import layout
         cfg_a = _narrow_cfg(cfg_a)
         cfg_b = _narrow_cfg(cfg_b)
@@ -442,7 +483,9 @@ class PackedConvPairOp:
         # taps at a time, _tap_dot_split)
         kda = cfg_a.kw * cfg_a.icp * (1 if split_kh else cfg_a.kh)
         kdb = cfg_b.kw * cfg_b.icp * (1 if split_kh else cfg_b.kh)
-        budget = 24 * 2 ** 20
+        # vmem_budget overrides the measured default for probe ladders
+        # (scratch/pair_probe.py walks tiles past the cliff on purpose)
+        budget = 24 * 2 ** 20 if vmem_budget is None else vmem_budget
         cands = []
         for d in range(1, sout.rows + 1):
             if sout.rows % d or (pool2 and d % 2):
@@ -462,9 +505,19 @@ class PackedConvPairOp:
         if row_tile is not None:
             check(row_tile in cands,
                   f"row_tile {row_tile} not legal (candidates: {cands})")
-        cfg_b = dataclasses.replace(cfg_b,
-                                    row_tile=row_tile or cands[-1])
+        if row_tile is None:
+            fit = [d for d in cands if d % msplit == 0]
+            check(bool(fit), f"no legal row_tile divisible by msplit "
+                             f"{msplit} (candidates: {cands})")
+            row_tile = fit[-1]
+        cfg_b = dataclasses.replace(cfg_b, row_tile=row_tile)
         validate_packed_pair(cfg_a, cfg_b, sin, smid, sout)
+        check(cfg_b.row_tile % msplit == 0, "msplit must divide row_tile")
+        if pool2 and msplit > 1:
+            check((cfg_b.row_tile // msplit) % 2 == 0,
+                  "pool2 msplit chunks need even rows")
+            check(sin.iwp % 32 == 0,
+                  "pool2 msplit chunk stores need iwp % 32 == 0")
         if pool2:
             from .packed import validate_packed_maxpool2
             validate_packed_maxpool2(sout)
@@ -472,6 +525,8 @@ class PackedConvPairOp:
         self.sin, self.smid, self.sout = sin, smid, sout
         self.split_kh = split_kh
         self.pool2 = pool2
+        self.grid_order = grid_order
+        self.msplit = msplit
         self._cache = OperandCache(
             self._pack_layer(cfg_a, weights_a, split_kh)
             + self._pack_layer(cfg_b, weights_b, split_kh))
@@ -518,7 +573,8 @@ class PackedConvPairOp:
             operands = self._cache.for_call(arr)
         return _pair_call(self.cfg_a, self.cfg_b, self.sin, self.smid,
                           self.sout, arr, *operands,
-                          split_kh=self.split_kh, pool2=self.pool2)
+                          split_kh=self.split_kh, pool2=self.pool2,
+                          grid_order=self.grid_order, msplit=self.msplit)
 
     # --- packed-weight persistence (mirrors PackedConvOp.save/load) ---
 
@@ -534,7 +590,9 @@ class PackedConvPairOp:
             cfg_a=self.cfg_a, cfg_b=self.cfg_b, sin=self.sin,
             smid=self.smid, sout=self.sout),
             __split_kh__=np.bool_(self.split_kh),
-            __pool2__=np.bool_(self.pool2), **arrs)
+            __pool2__=np.bool_(self.pool2),
+            __grid_order__=np.str_(self.grid_order),
+            __msplit__=np.int64(self.msplit), **arrs)
 
     @classmethod
     def load(cls, path: str) -> "PackedConvPairOp":
@@ -549,10 +607,18 @@ class PackedConvPairOp:
         op.split_kh = bool(data["__split_kh__"]) \
             if "__split_kh__" in data else False
         op.pool2 = bool(data["__pool2__"]) if "__pool2__" in data else False
+        op.grid_order = str(data["__grid_order__"]) \
+            if "__grid_order__" in data else "bt"
+        op.msplit = int(data["__msplit__"]) if "__msplit__" in data else 1
         na = 8 if op.cfg_a.fuse_conv1x1 else 4
         nb = 8 if op.cfg_b.fuse_conv1x1 else 4
         op._cache = OperandCache(
             [data[f"a{j}"] for j in range(na)]
             + [data[f"b{j}"] for j in range(nb)])
         validate_packed_pair(op.cfg_a, op.cfg_b, op.sin, op.smid, op.sout)
+        if op.pool2:
+            # mirror the constructor: a stale/hand-edited checkpoint with
+            # odd halo/col_off must fail fast, not pool across boundaries
+            from .packed import validate_packed_maxpool2
+            validate_packed_maxpool2(op.sout)
         return op

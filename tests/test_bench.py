@@ -11,7 +11,8 @@ import bench
 
 
 def _reset():
-    bench._PARTIAL.update(diffs=[], iters=0, builder=None, done=False)
+    bench._PARTIAL.update(diffs=[], iters=0, builder=None, done=False,
+                          result=None)
 
 
 def test_partial_result_with_completed_reps():
@@ -38,6 +39,33 @@ def test_partial_result_after_full_line():
     _reset()
     bench._PARTIAL["done"] = True
     assert bench._partial_result() is None
+
+
+def test_frozen_result_wins_over_aux_chain_diffs():
+    # --compare-xla reuses timeit_chain after the primary measurement;
+    # an interrupt during the baseline must emit the frozen fused result,
+    # not the (slower) baseline diffs under the fused metric (r4 ADVICE)
+    _reset()
+    frozen = {"metric": "fused_conv3x3_1x1_int8_roofline_pct",
+              "value": 81.19, "unit": "%", "vs_baseline": 0.9022}
+    bench._PARTIAL["result"] = dict(frozen)
+    bench._PARTIAL["builder"] = lambda sec: {
+        "metric": "fused_conv3x3_1x1_int8_roofline_pct",
+        "value": round(1e-3 / sec, 2), "unit": "%", "vs_baseline": 0.0}
+    bench._PARTIAL["diffs"] = [5e-3]       # stale: the XLA baseline's
+    assert bench._partial_result() == frozen
+
+
+def test_prefirst_fallback_uses_active_metric():
+    # an interrupt during compile of a non-fused bench must file the
+    # zero under THAT bench's metric name (r4 ADVICE)
+    _reset()
+    bench._PARTIAL["builder"] = lambda sec: {
+        "metric": "concat_relu_hbm_pct", "value": 1.0, "unit": "%",
+        "vs_baseline": 0.0}
+    r = bench._partial_result()
+    assert r["metric"] == "concat_relu_hbm_pct" and r["value"] == 0.0
+    json.dumps(r)
 
 
 def test_median_is_reported_not_min():

@@ -202,6 +202,92 @@ def test_pair_pool2_save_load(tmp_path, rng):
     np.testing.assert_array_equal(np.asarray(reloaded(x)), want)
 
 
+@pytest.mark.parametrize("grid_order,msplit", [("tb", 1), ("bt", 2),
+                                               ("tb", 2), ("bt", 4)])
+def test_pair_schedule_knobs_bit_exact(grid_order, msplit, rng):
+    """grid_order / msplit are pure schedule knobs — any combination must
+    be bit-identical to the sequential composition (round-5 perf levers,
+    scratch/pair_probe.py)."""
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(2, 32, hw, 32, 1, oc1=32,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(2, 32, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    pair, op_a, op_b = _pair_and_seq(
+        cfg_a, (wa, ba, wa1, ba1), cfg_b, (wb, bb, wb1, bb1),
+        grid_order=grid_order, msplit=msplit,
+        **({"sin": PackedSpec.make(hw, hw, 32, halo=2, col_off=1, iwp=16),
+            "halo_out": 2} if msplit == 4 else {}))
+    _check_match(pair, op_a, op_b, src)
+
+
+def test_pair_deep_halo_roll_free(rng):
+    """halo_in = halo_out + ph_a + ph_b makes every input window
+    in-bounds (off_top == off_bot == 0): no boundary clamp, no roll —
+    the geometry behind the round-5 roll-free tile ladder. Must stay
+    bit-identical to the sequential composition."""
+    from deepfusion_tpu.ops.mega import _pair_offs
+
+    hw = 12
+    cfg_a, src, wa, ba, *_ = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=3, col_off=1, iwp=16)
+    pair, op_a, op_b = _pair_and_seq(
+        cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin, halo_out=1,
+        col_off_out=1)
+    off_top, off_bot, *_rest = _pair_offs(
+        pair.cfg_a, pair.cfg_b, pair.sin, pair.smid, pair.sout,
+        pair.cfg_b.row_tile)
+    assert off_top == 0 and off_bot == 0
+    _check_match(pair, op_a, op_b, src)
+
+
+def test_pair_pool2_msplit_bit_exact(rng):
+    """pool2 through the msplit chunked store path."""
+    hw = 12
+    cfg_a, src, wa, ba, *_ = build_cfg(1, 32, hw, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(1, 32, hw, 32, 1, rng=rng)
+    from deepfusion_tpu.ops.packed import packed_maxpool2
+
+    sin = PackedSpec.make(hw, hw, 32, halo=2, col_off=2, iwp=32)
+    plain = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin,
+                             halo_out=2, col_off_out=2)
+    pooled = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin,
+                              halo_out=2, col_off_out=2, pool2=True,
+                              msplit=2)
+    x = pack_image(src, sin)
+    want, _ = packed_maxpool2(plain(x), plain.sout)
+    np.testing.assert_array_equal(np.asarray(pooled(x)), np.asarray(want))
+
+
+def test_pair_pool2_load_rejects_tampered_geometry(tmp_path, rng):
+    """A stale/hand-edited pool2 checkpoint with pool-illegal output
+    geometry (odd col_off) must fail fast at load, exactly like the
+    constructor does (r4 ADVICE: load skipped validate_packed_maxpool2,
+    so a tampered checkpoint would pool 2x2 windows across image/pad
+    boundaries silently)."""
+    import json
+
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(1, 32, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=2, col_off=2, iwp=16)
+    op = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                          cfg_b, (wb, bb, wb1, bb1), sin=sin,
+                          halo_out=2, col_off_out=2, pool2=True)
+    path = str(tmp_path / "pairpool.npz")
+    op.save(path)
+    data = dict(np.load(path, allow_pickle=False))
+    cfgs = json.loads(str(data["__cfg__"]))
+    cfgs["sout"]["col_off"] = 3          # pair-legal but pool-illegal
+    data["__cfg__"] = np.str_(json.dumps(cfgs))
+    np.savez(path, **data)
+    with pytest.raises(CheckError):
+        PackedConvPairOp.load(path)
+
+
 def test_pair_tight_geometry_shallow_to_deep_halo(rng):
     """Regression: halo_in < halo_out on a tiny image. The clamp must
     never engage on middle tiles (off <= row_tile bound) — before the
