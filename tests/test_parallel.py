@@ -433,3 +433,25 @@ def test_dp_shard_pair_megakernel(rng):
     x = pack_image(src, sin)
     out = dp_shard(pair, make_mesh(dp=2))(x)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(pair(x)))
+
+
+def test_three_stage_plan_mesh_invariant(rng):
+    """The composed dp x sp x tp plan (parallel/plan.py — the builder
+    shared by the driver dryrun and bench.py's scaling harness) must be
+    bit-identical across mesh shapes: every stage's collective completes
+    integer contractions before the nonlinear requant."""
+    need_devices(8)
+    from deepfusion_tpu.parallel.plan import three_stage_plan
+
+    mb, hw, ic, oc, oc1 = 4, 16, 16, 32, 32
+    src = rng.integers(0, 17, (mb, hw, hw, ic)).astype(np.uint8)
+    outs = []
+    for dp, sp, tp in [(1, 1, 1), (2, 2, 2), (1, 2, 4)]:
+        mesh = make_mesh(dp=dp, sp=sp, tp=tp)
+        plan, pair, _ = three_stage_plan(
+            mesh, mb, hw, ic, oc, oc1, rng=np.random.default_rng(7))
+        out = np.asarray(jax.jit(plan)(src))
+        assert out.shape == pair.sout_pooled.array_shape(mb)
+        outs.append(out)
+    np.testing.assert_array_equal(outs[0], outs[1])
+    np.testing.assert_array_equal(outs[0], outs[2])
