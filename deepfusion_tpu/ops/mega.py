@@ -213,15 +213,19 @@ def _pack_weights_khmajor(wei_oihw, icp: int, ocp: int):
     return out.reshape(kh * kw * icp, ocp)
 
 
-def _image_mask(m, iwp, row0, spec: PackedSpec):
+def _image_mask(m, iwp, row0, spec: PackedSpec, row_bounds=None):
     """(m, 1) f32 0/1 mask of slots inside spec's image region, for a
-    tile whose first flat row is virtual row `row0` (may be traced)."""
+    tile whose first flat row is virtual row `row0` (may be traced).
+    row_bounds overrides the [halo, halo+h) image-row interval with
+    traced per-shard bounds (sp_packed's interior-widened mask)."""
     pos = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     col = pos % iwp
     row = row0 + pos // iwp
+    row_lo, row_hi = ((spec.halo, spec.halo + spec.h)
+                      if row_bounds is None else row_bounds)
     return (jnp.logical_and(
         jnp.logical_and(col >= spec.col_off, col < spec.col_off + spec.w),
-        jnp.logical_and(row >= spec.halo, row < spec.halo + spec.h))
+        jnp.logical_and(row >= row_lo, row < row_hi))
         ).astype(jnp.float32)
 
 
@@ -251,23 +255,41 @@ def _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp):
 def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
                  sin: PackedSpec, smid: PackedSpec, sout: PackedSpec,
                  split_kh: bool = False, pool2: bool = False,
-                 t_dim: int = 1, msplit: int = 1):
+                 t_dim: int = 1, msplit: int = 1, t_off: int = 0,
+                 nt_tot: int = None, row0_off: int = 0,
+                 offs: tuple = None, dyn_mid: bool = False):
     na = 8 if cfg_a.fuse_conv1x1 else 4
     ops_a, refs = refs[:na], refs[na:]
     nb = 8 if cfg_b.fuse_conv1x1 else 4
-    ops_b, out_ref, inter_ref = refs[:nb], refs[nb], refs[nb + 1]
+    ops_b, refs = refs[:nb], refs[nb:]
+    mb_ref = None
+    if dyn_mid:
+        # (1, 2) SMEM scalars: the intermediate image-row bounds in the
+        # smid row frame. sp_packed widens them by ph_b on shard-interior
+        # sides so layer b reads computed neighbor rows instead of the
+        # -128 padding the static mask would force (parallel/shard.py)
+        mb_ref, refs = refs[0], refs[1:]
+    out_ref, inter_ref = refs[0], refs[1]
     T = cfg_b.row_tile
     iwp = sin.iwp
-    t = pl.program_id(t_dim)
-    nt = pl.num_programs(t_dim)
+    # t_off/nt_tot/row0_off: tile-range + input-slice re-basing for the
+    # sp_packed interior/boundary split (parallel/shard.py); tile index,
+    # masks and boundary rolls use the ABSOLUTE tile index, the input
+    # window re-bases by the slice start
+    t = t_off + pl.program_id(t_dim)
+    nt = nt_tot if nt_tot is not None else pl.num_programs(t_dim)
     interp = env.interpret_kernels()
     off_top, off_bot, s2u_f, s1u_f, T2, L1 = _pair_offs(
         cfg_a, cfg_b, sin, smid, sout, T)
+    if offs is not None:
+        # sliced calls: sin describes the SLICE, whose rows would skew
+        # the off_bot derivation — the caller passes the full-array offs
+        off_top, off_bot = offs
     m, m2 = T * iwp, T2 * iwp
     delta2 = smid.halo - sout.halo
     delta1 = sin.halo - smid.halo
     s2u = t * T + delta2 - cfg_b.ph          # virtual, never clamped
-    s1 = s2u + delta1 - cfg_a.ph
+    s1 = s2u + delta1 - cfg_a.ph - row0_off
     if off_top or off_bot:
         s1 = jnp.clip(s1, 0, sin.rows - L1)
     blocks = []
@@ -283,7 +305,8 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
         patch = jnp.concatenate(blocks, axis=-1)      # (m2, kh_a*icp_a)
         patch = _roll_boundary(patch, t, nt, off_top, off_bot, iwp, interp)
         acc = _tap_dot(patch, cfg_a, sin, smid, ops_a[0], ops_a[1], interp)
-    mask_mid = _image_mask(m2, iwp, s2u, smid)
+    bounds = None if mb_ref is None else (mb_ref[0, 0], mb_ref[0, 1])
+    mask_mid = _image_mask(m2, iwp, s2u, smid, row_bounds=bounds)
     # land the intermediate in a VMEM scratch ref: slicing layer b's
     # row blocks out of a REF gives Mosaic the same load-fusion as the
     # kernel inputs get, where slicing the traced VALUE materialized a
@@ -333,18 +356,27 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
 @functools.partial(jax.jit, static_argnames=("cfg_a", "cfg_b", "sin",
                                              "smid", "sout", "split_kh",
                                              "pool2", "grid_order",
-                                             "msplit"))
+                                             "msplit", "t_range",
+                                             "nt_tot", "row0_off",
+                                             "offs"))
 def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
                smid: PackedSpec, sout: PackedSpec, arr, *operands,
                split_kh: bool = False, pool2: bool = False,
-               grid_order: str = "bt", msplit: int = 1):
+               grid_order: str = "bt", msplit: int = 1,
+               t_range: tuple = None, nt_tot: int = None,
+               row0_off: int = 0, offs: tuple = None, mid_bounds=None):
+    """t_range/nt_tot/row0_off/offs: tile-range + input-slice re-basing
+    for sp_packed's interior/boundary split (see _packed_call).
+    mid_bounds: traced (1, 2) i32 intermediate image-row bounds (the
+    per-shard widened mask of sp_packed)."""
     n = arr.shape[0]
     T = cfg_b.row_tile
     iwp = sin.iwp
     T2 = T + cfg_b.kh - 1
     m, m2 = T * iwp, T2 * iwp
     ocp_out = cfg_b.oc1x1p if cfg_b.fuse_conv1x1 else cfg_b.ocp
-    nt = sout.rows // T
+    t0, t1 = t_range if t_range is not None else (0, sout.rows // T)
+    nt = t1 - t0
     # grid_order: "bt" iterates row tiles fastest within a batch image
     # (input block resident for nt steps); "tb" iterates batch fastest
     # (uniform streaming, nt-times-deeper pipeline per input block) —
@@ -383,6 +415,11 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
                              lambda *ij: (bt(*ij)[0], 0, 0),
                              memory_space=pltpu.VMEM)]
     in_specs += layer_specs(cfg_a) + layer_specs(cfg_b)
+    extra_args = ()
+    if mid_bounds is not None:
+        in_specs = in_specs + [pl.BlockSpec((1, 2), lambda *ij: (0, 0),
+                                            memory_space=pltpu.SMEM)]
+        extra_args = (jnp.asarray(mid_bounds, jnp.int32).reshape(1, 2),)
     out_spec = pl.BlockSpec((1, m, ocp_out),
                             lambda *ij: bt(*ij) + (0,),
                             memory_space=pltpu.VMEM)
@@ -391,13 +428,12 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
 
     if pool2:
         m_out = (T // 2) * (iwp // 2)
-        out_shape = (n, (sout.rows // 2) * (iwp // 2), ocp_out)
         out_spec = pl.BlockSpec((1, m_out, ocp_out),
                                 lambda *ij: bt(*ij) + (0,),
                                 memory_space=pltpu.VMEM)
     else:
         m_out = m
-        out_shape = sout.array_shape(n)
+    out_shape = (n, (t1 - t0) * m_out, ocp_out)
 
     def layer_flops(cfg, rows):
         f = 2 * rows * cfg.kh * cfg.kw * cfg.icp * cfg.ocp
@@ -413,7 +449,9 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
         functools.partial(_pair_kernel, cfg_a=cfg_a, cfg_b=cfg_b,
                           sin=sin, smid=smid, sout=sout,
                           split_kh=split_kh, pool2=pool2, t_dim=t_dim,
-                          msplit=msplit),
+                          msplit=msplit, t_off=t0, nt_tot=nt_tot,
+                          row0_off=row0_off, offs=offs,
+                          dyn_mid=mid_bounds is not None),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
         grid=grid,
         in_specs=in_specs,
@@ -425,7 +463,36 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
             bytes_accessed=nbytes * grid[0] * grid[1],
             transcendentals=0),
         interpret=env.interpret_kernels(),
-    )(jnp.asarray(arr), *operands)
+    )(jnp.asarray(arr), *operands, *extra_args)
+
+
+def _pair_row_tile_cands(cfg_a: ConvConfig, cfg_b: ConvConfig,
+                         sin: PackedSpec, smid: PackedSpec,
+                         sout: PackedSpec, split_kh: bool, pool2: bool,
+                         vmem_budget: int = None):
+    """Legal row tiles, ascending: divide padded output rows, M <= 8192,
+    two wide tap patches within the VMEM budget (measured cliff: T=64's
+    38 MB ran 71.8%-of-roofline vs T=32's 81.3 with equal-halo rolls,
+    scratch/mega_probe.py), >= 2 tiles when boundary rolls engage."""
+    kda = cfg_a.kw * cfg_a.icp * (1 if split_kh else cfg_a.kh)
+    kdb = cfg_b.kw * cfg_b.icp * (1 if split_kh else cfg_b.kh)
+    budget = 24 * 2 ** 20 if vmem_budget is None else vmem_budget
+    cands = []
+    for d in range(1, sout.rows + 1):
+        if sout.rows % d or (pool2 and d % 2):
+            continue
+        m, m2 = d * sin.iwp, (d + cfg_b.kh - 1) * sin.iwp
+        if m > 8192 or m2 * kda + m * kdb > budget:
+            continue
+        cfg_b_t = dataclasses.replace(cfg_b, row_tile=d)
+        off_top, off_bot, _, _, T2, L1 = _pair_offs(
+            cfg_a, cfg_b_t, sin, smid, sout, d)
+        if sin.rows < L1 or off_top > d or off_bot > d:
+            continue
+        if (off_top or off_bot) and sout.rows // d < 2:
+            continue
+        cands.append(d)
+    return cands
 
 
 class PackedConvPairOp:
@@ -481,26 +548,10 @@ class PackedConvPairOp:
         # headroom it needs to double-buffer the streams.
         # split_kh shrinks the live tap buffer kh-fold (one kh block's
         # taps at a time, _tap_dot_split)
-        kda = cfg_a.kw * cfg_a.icp * (1 if split_kh else cfg_a.kh)
-        kdb = cfg_b.kw * cfg_b.icp * (1 if split_kh else cfg_b.kh)
         # vmem_budget overrides the measured default for probe ladders
         # (scratch/pair_probe.py walks tiles past the cliff on purpose)
-        budget = 24 * 2 ** 20 if vmem_budget is None else vmem_budget
-        cands = []
-        for d in range(1, sout.rows + 1):
-            if sout.rows % d or (pool2 and d % 2):
-                continue
-            m, m2 = d * sin.iwp, (d + cfg_b.kh - 1) * sin.iwp
-            if m > 8192 or m2 * kda + m * kdb > budget:
-                continue
-            cfg_b_t = dataclasses.replace(cfg_b, row_tile=d)
-            off_top, off_bot, _, _, T2, L1 = _pair_offs(
-                cfg_a, cfg_b_t, sin, smid, sout, d)
-            if sin.rows < L1 or off_top > d or off_bot > d:
-                continue
-            if (off_top or off_bot) and sout.rows // d < 2:
-                continue
-            cands.append(d)
+        cands = _pair_row_tile_cands(cfg_a, cfg_b, sin, smid, sout,
+                                     split_kh, pool2, vmem_budget)
         check(bool(cands), "no legal row_tile for megakernel geometry")
         if row_tile is not None:
             check(row_tile in cands,
@@ -561,6 +612,35 @@ class PackedConvPairOp:
 
     def pack_input(self, src_u8, xp=np):
         return pack_image(src_u8, self.sin, xp=xp)
+
+    def reheight(self, h: int) -> "PackedConvPairOp":
+        """Shallow clone computing an h-row horizontal slab (same W/C
+        geometry, same packed operands) — the per-shard local op of
+        parallel/shard.sp_packed. Requires both layers' oh == ih / ow ==
+        iw (stride-1 SAME geometry) so shard boundaries align."""
+        import copy
+        for cfg, name in ((self.cfg_a, "a"), (self.cfg_b, "b")):
+            check(cfg.oh == cfg.ih and cfg.ow == cfg.iw,
+                  f"reheight requires oh == ih on layer {name}")
+        clone = copy.copy(self)
+        clone.sin = dataclasses.replace(self.sin, h=h)
+        clone.smid = dataclasses.replace(self.smid, h=h)
+        clone.sout = dataclasses.replace(self.sout, h=h)
+        cfg_a = dataclasses.replace(self.cfg_a, ih=h, oh=h)
+        cfg_b = dataclasses.replace(self.cfg_b, ih=h, oh=h)
+        cands = _pair_row_tile_cands(cfg_a, cfg_b, clone.sin, clone.smid,
+                                     clone.sout, self.split_kh,
+                                     self.pool2)
+        fit = [d for d in cands if d % self.msplit == 0]
+        check(bool(fit), "no legal row_tile for the reheighted pair")
+        clone.cfg_a = cfg_a
+        clone.cfg_b = dataclasses.replace(cfg_b, row_tile=fit[-1])
+        validate_packed_pair(clone.cfg_a, clone.cfg_b, clone.sin,
+                             clone.smid, clone.sout)
+        if self.pool2:
+            from .packed import validate_packed_maxpool2
+            validate_packed_maxpool2(clone.sout)
+        return clone
 
     def __call__(self, packed_arr, operands=None):
         """operands: optional override of the cached packed weights —

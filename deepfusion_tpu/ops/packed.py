@@ -118,6 +118,34 @@ def unpack_image(arr, spec: PackedSpec, xp=np):
     return (img.astype(xp.int16) + 128).astype(xp.uint8)
 
 
+def pack_image_sharded(src_u8, spec_local: PackedSpec, n_shards: int,
+                       xp=np):
+    """NHWC u8 -> the SHARDED packed format: H split into n_shards equal
+    slabs, each packed with ``spec_local`` (whose ``h`` is the per-shard
+    height), concatenated on the flat-row dim. Sharding this dim over the
+    mesh's sp axis gives every device a valid local packed image whose
+    halo rows the sp_packed wrapper fills by ppermute exchange
+    (parallel/shard.py)."""
+    src = xp.asarray(src_u8)
+    n, h, w, c = src.shape
+    check(h == spec_local.h * n_shards,
+          "pack_image_sharded: H does not split into n_shards local specs")
+    slabs = [pack_image(src[:, i * spec_local.h:(i + 1) * spec_local.h],
+                        spec_local, xp=xp) for i in range(n_shards)]
+    return xp.concatenate(slabs, axis=1)
+
+
+def unpack_image_sharded(arr, spec_local: PackedSpec, n_shards: int,
+                         xp=np):
+    """Inverse of pack_image_sharded (image rows only; interior halo
+    bands are dropped)."""
+    arr = xp.asarray(arr)
+    rl = spec_local.rows * spec_local.iwp
+    slabs = [unpack_image(arr[:, i * rl:(i + 1) * rl], spec_local, xp=xp)
+             for i in range(n_shards)]
+    return xp.concatenate(slabs, axis=1)
+
+
 def _boundary_offs(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec):
     """Static row offsets by which the first/last row-tile's input window
     runs out of bounds. The kernel clamps the window and un-shifts the
@@ -235,7 +263,8 @@ def _shifted_patch(patch, d, interp):
 
 
 def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
-                   ssum: PackedSpec = None, pool2: bool = False):
+                   ssum: PackedSpec = None, pool2: bool = False,
+                   t_off: int = 0, nt_tot: int = None, row0_off: int = 0):
     n_src = len(sins)
     sin = sins[0]
     src_refs, refs = refs[:n_src], refs[n_src:]
@@ -251,8 +280,12 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
     T = cfg.row_tile
     iwp = sin.iwp
     m = T * iwp
-    t = pl.program_id(1)
-    nt = pl.num_programs(1)
+    # t_off/nt_tot: this call covers output tiles [t_off, t_off + grid1)
+    # of a larger nt_tot-tile space (the sp_packed interior/boundary
+    # split, parallel/shard.py); tile indices, masks and boundary rolls
+    # all use the ABSOLUTE tile index
+    t = t_off + pl.program_id(1)
+    nt = nt_tot if nt_tot is not None else pl.num_programs(1)
     interp = env.interpret_kernels()
     # The grid covers the output's padded row space uniformly — pad rows
     # are computed like image rows and masked to -128 at store. Tile t
@@ -268,7 +301,9 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
     # (validate_packed_conv guarantees off <= halo_out and >= 2 tiles).
     delta = sin.halo - sout.halo
     off_top, off_bot = _boundary_offs(cfg, sin, sout)
-    s0 = t * T + delta - cfg.ph
+    # row0_off: the input ref holds rows [row0_off, row0_off + sin.rows)
+    # of the full array (sliced boundary calls); window starts re-base
+    s0 = t * T + delta - cfg.ph - row0_off
     if off_top or off_bot:
         s0 = jnp.clip(s0, 0, sin.rows - (T + cfg.kh - 1))
     blocks = []
@@ -400,10 +435,17 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "sins", "sout", "ssum",
-                                    "pool2"))
+                                    "pool2", "t_range", "nt_tot",
+                                    "row0_off"))
 def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
                  arrs, *operands, ssum: PackedSpec = None, sum_arr=None,
-                 pool2: bool = False):
+                 pool2: bool = False, t_range: tuple = None,
+                 nt_tot: int = None, row0_off: int = 0):
+    """t_range=(t0, t1): emit only output tiles [t0, t1) of the nt_tot
+    tile space (output shape covers just the range; caller concatenates).
+    row0_off: the input arrays are row slices starting at that flat row
+    of the full packed array. Both serve sp_packed's interior/boundary
+    overlap split (parallel/shard.py)."""
     sin = sins[0]
     n = arrs[0].shape[0]
     T = cfg.row_tile
@@ -411,7 +453,8 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
     m = T * iwp
     ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
     k_dim = cfg.kh * cfg.kw * cfg.icp
-    grid = (n, sout.rows // T)
+    t0, t1 = t_range if t_range is not None else (0, sout.rows // T)
+    grid = (n, t1 - t0)
 
     src_specs = [pl.BlockSpec((1, s.rows * iwp, s.cp),
                               lambda b, t: (b, 0, 0),
@@ -441,10 +484,9 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
                      vec(cfg.oc1x1p), vec(cfg.oc1x1p), vec(cfg.oc1x1p)]
     if pool2:
         m_out = (T // 2) * (iwp // 2)
-        out_shape = (n, (sout.rows // 2) * (iwp // 2), ocp_out)
     else:
         m_out = m
-        out_shape = sout.array_shape(n)
+    out_shape = (n, (t1 - t0) * m_out, ocp_out)
     out_spec = pl.BlockSpec((1, m_out, ocp_out), lambda b, t: (b, t, 0),
                             memory_space=pltpu.VMEM)
 
@@ -457,7 +499,8 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
     operands = [op.reshape(1, -1) if op.ndim == 1 else op for op in operands]
     return pl.pallas_call(
         functools.partial(_packed_kernel, cfg=cfg, sins=sins, sout=sout,
-                          ssum=ssum, pool2=pool2),
+                          ssum=ssum, pool2=pool2, t_off=t0,
+                          nt_tot=nt_tot, row0_off=row0_off),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
         grid=grid,
         in_specs=in_specs,
@@ -469,6 +512,27 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
             transcendentals=0),
         interpret=env.interpret_kernels(),
     )(*args, *operands)
+
+
+def _pick_row_tile(cfg: ConvConfig, sin: PackedSpec, sout: PackedSpec,
+                   pool2: bool) -> int:
+    """Largest legal row tile: divides the padded output rows, M <= 8192,
+    and the lane-concatenated wide patch (the dominant in-kernel buffer
+    of the single-dot tap formulation) <= 24 MB (tile_probe.py: T=64
+    beats T=16 by ~1pp on the flagship; past ~24 MB Mosaic loses
+    double-buffering headroom). Leaves >= 2 tiles when boundary rolls
+    engage; even tiles when the pool2 epilogue is fused."""
+    off_top, off_bot = _boundary_offs(cfg, sin, sout)
+    need_two = bool(off_top or off_bot)
+    k_dim = cfg.kh * cfg.kw * cfg.icp
+    tmax = max(min(8192, 24 * 2 ** 20 // k_dim) // sin.iwp, 1)
+    cands = [d for d in range(1, sout.rows + 1)
+             if sout.rows % d == 0 and d <= tmax
+             and d >= max(off_top, off_bot)
+             and (not pool2 or d % 2 == 0)
+             and (not need_two or sout.rows // d >= 2)]
+    check(bool(cands), "no legal row_tile for packed geometry")
+    return cands[-1]
 
 
 def _narrow_cfg(cfg: ConvConfig) -> ConvConfig:
@@ -801,25 +865,8 @@ class PackedConvOp:
         sout = PackedSpec(h=cfg.oh, w=cfg.ow, c=out_c, cp=ocp_out,
                           halo=halo_out, col_off=col_off_out,
                           iwp=sin.iwp)
-        # row_tile must divide the padded output rows; pick the LARGEST
-        # legal tile — fewer tiles amortize per-tile window re-reads and
-        # pipeline overhead (tile_probe.py: T=64 beats T=16 by ~1pp on the
-        # flagship). Caps: M <= 8192 and the lane-concatenated wide patch
-        # (the dominant in-kernel buffer of the single-dot tap
-        # formulation) <= 24 MB, leaving >= 2 tiles when boundary rolls
-        # are in play.
-        off_top, off_bot = _boundary_offs(cfg, sin, sout)
-        need_two = bool(off_top or off_bot)
-        k_dim = cfg.kh * cfg.kw * cfg.icp
-        tmax = max(min(8192, 24 * 2 ** 20 // k_dim) // sin.iwp, 1)
-        cands = [d for d in range(1, sout.rows + 1)
-                 if sout.rows % d == 0 and d <= tmax
-                 and d >= max(off_top, off_bot)
-                 and (not pool2 or d % 2 == 0)
-                 and (not need_two or sout.rows // d >= 2)]
-        check(bool(cands), "no legal row_tile for packed geometry")
-        rt = cands[-1]
-        cfg = dataclasses.replace(cfg, row_tile=rt)
+        cfg = dataclasses.replace(
+            cfg, row_tile=_pick_row_tile(cfg, sin, sout, pool2))
         self.cfg = cfg
         validate_packed_conv(cfg, sins, sout, ssum=sum_spec)
         if pool2:
@@ -844,6 +891,34 @@ class PackedConvOp:
         return PackedSpec(h=s.h // 2, w=s.w // 2, c=s.c, cp=s.cp,
                           halo=s.halo // 2, col_off=s.col_off // 2,
                           iwp=s.iwp // 2)
+
+    def reheight(self, h: int) -> "PackedConvOp":
+        """Shallow clone computing an h-row horizontal slab of the image
+        (same W/C geometry, same packed operands) — the per-shard local
+        op of the spatial-sharding wrapper (parallel/shard.sp_packed).
+        Requires the self-chain geometry oh == ih / ow == iw (stride 1,
+        SAME padding) so shard boundaries align, like sp_conv's sum rule."""
+        import copy
+        check(self.cfg_orig is None,
+              "reheight does not support s2d-lowered strided ops")
+        check(len(self.sins) == 1, "reheight needs a single-input op")
+        cfg = self.cfg
+        check(cfg.oh == cfg.ih and cfg.ow == cfg.iw,
+              "reheight requires oh == ih (stride-1 SAME geometry)")
+        clone = copy.copy(self)
+        sin = dataclasses.replace(self.sin, h=h)
+        sout = dataclasses.replace(self.sout, h=h)
+        cfg = dataclasses.replace(cfg, ih=h, oh=h)
+        cfg = dataclasses.replace(
+            cfg, row_tile=_pick_row_tile(cfg, sin, sout, self.pool2))
+        clone.cfg = cfg
+        clone.sins, clone.sin, clone.sout = (sin,), sin, sout
+        if self.ssum is not None:
+            clone.ssum = dataclasses.replace(self.ssum, h=h)
+        validate_packed_conv(cfg, clone.sins, sout, ssum=clone.ssum)
+        if self.pool2:
+            validate_packed_maxpool2(sout)
+        return clone
 
     def pack_input(self, src_u8, xp=np):
         """Model-boundary pack: dense NHWC u8 -> this op's packed input

@@ -12,9 +12,13 @@ dryrun proves compiles is also measurable by the throughput harness
   stage 2 — tp-sharded fused conv: conv0 oc over ``tp``, the 1x1's s32
             contraction completed by ``psum_scatter`` BEFORE the
             nonlinear requant (``parallel/shard.tp_fused_conv``);
-  stage 3 — dp-sharded two-layer megakernel with fused pool2 epilogue
-            (``ops/mega.PackedConvPairOp`` under ``dp_shard``), fed by a
-            traced model-boundary ``pack_image``.
+  stage 3 — dp x sp sharded two-layer megakernel with fused pool2
+            epilogue (``ops/mega.PackedConvPairOp`` under ``sp_packed``:
+            packed-domain ppermute halo exchange overlapped with the
+            interior tiles, composed with dp batch sharding), fed by a
+            traced model-boundary ``pack_image_sharded`` and unpacked to
+            a dense u8 image at the end so the plan's output is
+            mesh-shape-invariant.
 
 The reference has no distributed execution at all (SURVEY.md §2); this
 composition is the TPU-native scale-out demanded by BASELINE.md's north
@@ -27,10 +31,11 @@ import numpy as np
 from ..config import ConvConfig
 from ..ops.conv import ConvOp
 from ..ops.mega import PackedConvPairOp
-from ..ops.packed import PackedSpec, pack_image
+from ..ops.packed import (PackedSpec, pack_image_sharded,
+                          unpack_image_sharded)
 from ..utils.logger import check
 from ..utils.mathutil import round_up
-from .shard import dp_shard, sp_conv, tp_fused_conv
+from .shard import sp_conv, sp_packed, tp_fused_conv
 
 
 def three_stage_plan(mesh, mb: int, hw: int, ic: int, oc: int, oc1: int,
@@ -78,21 +83,26 @@ def three_stage_plan(mesh, mb: int, hw: int, ic: int, oc: int, oc1: int,
     stage2 = tp_fused_conv(cfg2, wei2, None, wei21, None, mesh,
                            wire="reduce_scatter")
 
-    # stage 3: dp-sharded pool2 megakernel on the packed image
+    # stage 3: dp x sp sharded pool2 megakernel (sp_packed halo exchange
+    # in the packed domain; roll-free erosion sin: halo_out + ph_a + ph_b)
     wei3a = rng.integers(-m, m + 1, (oc1, oc1, 3, 3)).astype(np.int8)
     wei3b = rng.integers(-m, m + 1, (oc1, oc1, 3, 3)).astype(np.int8)
     cfg3 = ConvConfig.make(
         (mb, hw, hw, oc1), (oc1, oc1, 3, 3), None, (1, 1), (1, 1),
         (mb, hw, hw, oc1), "u8", conv0_relu=True, conv0_scales=(0.05,))
-    sin3 = PackedSpec.make(hw, hw, oc1, halo=2, col_off=2,
+    sin3 = PackedSpec.make(hw, hw, oc1, halo=4, col_off=2,
                            iwp=round_up(hw + 4, 16))
     pair = PackedConvPairOp(cfg3, (wei3a, None), cfg3, (wei3b, None),
                             sin=sin3, halo_out=2, col_off_out=2,
                             pool2=True)
-    stage3 = dp_shard(pair, mesh)
+    stage3 = sp_packed(pair, mesh, axis="sp", dp_axis="dp")
+    sin3_l = stage3.local_spec
 
     def step(s):
         y = stage2(stage1(s))
-        return stage3(pack_image(y, pair.sin, xp=jnp))
+        z = stage3(pack_image_sharded(y, sin3_l, sp, xp=jnp))
+        # unpack the sharded pooled output to a dense u8 image so the
+        # plan's result is identical across mesh shapes
+        return unpack_image_sharded(z, stage3.local_out_spec, sp, xp=jnp)
 
     return step, pair, cfg2

@@ -451,7 +451,120 @@ def test_three_stage_plan_mesh_invariant(rng):
         plan, pair, _ = three_stage_plan(
             mesh, mb, hw, ic, oc, oc1, rng=np.random.default_rng(7))
         out = np.asarray(jax.jit(plan)(src))
-        assert out.shape == pair.sout_pooled.array_shape(mb)
+        assert out.shape == (mb, hw // 2, hw // 2, oc1)
         outs.append(out)
     np.testing.assert_array_equal(outs[0], outs[1])
     np.testing.assert_array_equal(outs[0], outs[2])
+
+
+def _sp_packed_check(rng, op, src, n_shard, dp=1, sum_src=None):
+    """sp_packed(op) over n_shard shards must reproduce the single-device
+    op's image rows exactly (the sharded local-packed format drops
+    nothing but interior halo bands, which hold -128 by contract)."""
+    from deepfusion_tpu.ops.packed import (pack_image, pack_image_sharded,
+                                           unpack_image,
+                                           unpack_image_sharded)
+    from deepfusion_tpu.parallel import sp_packed
+
+    need_devices(n_shard * dp)
+    xg = pack_image(src, op.sin)
+    if sum_src is not None:
+        want = np.asarray(op(xg, sum_arr=pack_image(sum_src, op.ssum)))
+    else:
+        want = np.asarray(op(xg))
+    out_spec = op.sout_pooled if op.pool2 else op.sout
+    want_img = unpack_image(want, out_spec)
+
+    mesh = make_mesh(dp=dp, sp=n_shard)
+    fn = sp_packed(op, mesh, dp_axis="dp" if dp > 1 else None)
+    xs = pack_image_sharded(src, fn.local_spec, n_shard)
+    if sum_src is not None:
+        from dataclasses import replace
+        sum_local = replace(op.ssum, h=op.ssum.h // n_shard)
+        got = fn(xs, pack_image_sharded(sum_src, sum_local, n_shard))
+    else:
+        got = fn(xs)
+    got_img = unpack_image_sharded(np.asarray(got), fn.local_out_spec,
+                                   n_shard)
+    np.testing.assert_array_equal(got_img, want_img)
+
+
+@pytest.mark.parametrize("n_shard", [2, 4])
+def test_sp_packed_conv_bit_exact(n_shard, rng):
+    from deepfusion_tpu.ops.packed import PackedConvOp
+    from test_packed import build_cfg
+
+    hw = 16
+    cfg, src, wei, bia, wei1, bia1 = build_cfg(2, 32, hw, 32, 1, oc1=32,
+                                               rng=rng)
+    op = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    _sp_packed_check(rng, op, src, n_shard)
+
+
+def test_sp_packed_conv_dp_composed(rng):
+    from deepfusion_tpu.ops.packed import PackedConvOp
+    from test_packed import build_cfg
+
+    cfg, src, wei, bia, *_ = build_cfg(4, 32, 16, 32, 1, rng=rng)
+    op = PackedConvOp(cfg, wei, bia)
+    _sp_packed_check(rng, op, src, 2, dp=2)
+
+
+def test_sp_packed_conv_sum_postop(rng):
+    import dataclasses
+    from deepfusion_tpu.ops.packed import PackedConvOp, PackedSpec
+    from test_packed import build_cfg
+    from helpers import fill_data
+
+    hw = 16
+    cfg, src, wei, bia, *_ = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    cfg = dataclasses.replace(cfg, with_sum=True, sum_dt=cfg.dst_dt,
+                              sum_scale=0.5)
+    sum_spec = PackedSpec.make(hw, hw, 32, halo=1, col_off=1)
+    op = PackedConvOp(cfg, wei, bia, sum_spec=sum_spec)
+    sum_src = fill_data((2, hw, hw, 32), "u8", rng)
+    _sp_packed_check(rng, op, src, 2, sum_src=sum_src)
+
+
+def test_sp_packed_pool2(rng):
+    from deepfusion_tpu.ops.packed import PackedConvOp, PackedSpec
+    from test_packed import build_cfg
+
+    hw = 16
+    cfg, src, wei, bia, *_ = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=2, col_off=2, iwp=32)
+    op = PackedConvOp(cfg, wei, bia, sin=sin, halo_out=2, col_off_out=2,
+                      pool2=True)
+    _sp_packed_check(rng, op, src, 2)
+
+
+@pytest.mark.parametrize("n_shard", [2, 4])
+def test_sp_packed_pair_megakernel(n_shard, rng):
+    from deepfusion_tpu.ops.mega import PackedConvPairOp
+    from deepfusion_tpu.ops.packed import PackedSpec
+    from test_packed import build_cfg
+
+    hw = 16
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(2, 32, hw, 32, 1, oc1=32,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(2, 32, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=3, col_off=1)
+    pair = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                            cfg_b, (wb, bb, wb1, bb1), sin=sin,
+                            halo_out=1)
+    _sp_packed_check(rng, pair, src, n_shard)
+
+
+def test_sp_packed_pair_rejects_shallow_halo(rng):
+    from deepfusion_tpu.ops.mega import PackedConvPairOp
+    from deepfusion_tpu.parallel import sp_packed
+    from deepfusion_tpu.utils.logger import CheckError
+    from test_packed import build_cfg
+
+    need_devices(2)
+    cfg_a, src, wa, ba, *_ = build_cfg(2, 32, 16, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(2, 32, 16, 32, 1, rng=rng)
+    pair = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb))  # halo 1
+    with pytest.raises(CheckError):
+        sp_packed(pair, make_mesh(sp=2))
