@@ -78,11 +78,14 @@ def main():
         # data dependency through one output element (shape-changing ops
         # can't feed their output back); see bench.bench_conv's chain
         # note. fn takes (x, aux) — the op's packed weights ride as jit
-        # arguments so compiles stay shape-keyed and fast (bench.make_chain)
+        # arguments so compiles stay shape-keyed and fast (bench.make_chain).
+        # The fold is an IN-PLACE one-element update: the former full-array
+        # `x + b` billed an extra read+write of x to every op (r5 protocol
+        # honesty pass, scratch/nochain_probe.py)
         def step(x, aux):
             out = fn(x, aux)
             b = (out.reshape(-1)[0].astype(jnp.int32) & 1).astype(x.dtype)
-            return x + b
+            return x.at[(0,) * x.ndim].add(b)
         return step
 
     def op_aux(op):
