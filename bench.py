@@ -495,7 +495,12 @@ def bench_model(args):
     # is near w=56; --packed / --dense force either path.
     use_packed = args.packed or (args.model == "fusionnet"
                                  and not args.dense)
-    fwd = net.packed_call if use_packed else net.__call__
+    if args.hybrid:
+        if not hasattr(net, "hybrid_call"):
+            raise SystemExit(f"--hybrid is not defined for {args.model}")
+        fwd, use_packed = net.hybrid_call, False
+    else:
+        fwd = net.packed_call if use_packed else net.__call__
 
     def step(x):
         out = fwd(x)
@@ -505,7 +510,8 @@ def bench_model(args):
         return x + bump
 
     tag = args.model + (f"@{args.model_hw}" if args.model_hw else "") \
-        + ("/packed" if use_packed else "/dense")
+        + ("/hybrid" if args.hybrid else
+           "/packed" if use_packed else "/dense")
 
     def builder(sec):
         return {"metric": f"{args.model}_imgs_per_sec",
@@ -749,6 +755,9 @@ def main():
     p.add_argument("--packed", action="store_true",
                    help="model: time the layout-persistent packed path "
                         "instead of the dense op-by-op path")
+    p.add_argument("--hybrid", action="store_true",
+                   help="model (vggfusion): packed megakernel for the "
+                        "big-image block, dense for the shrunken tail")
     p.add_argument("--model", default="fusionnet",
                    choices=["fusionnet", "resfusion", "vggfusion"],
                    help="model: which model family to time (vggfusion's "

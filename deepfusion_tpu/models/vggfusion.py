@@ -145,3 +145,26 @@ class VGGFusion:
     def jit_packed(self):
         self.build_packed()
         return jax.jit(self.packed_call)
+
+    # ------------------------------------------------------------ hybrid
+
+    def hybrid_call(self, x_u8):
+        """Mixed schedule: the BIG-image block runs as the packed pool2
+        megakernel (where halo columns land on alignment padding anyway
+        and one Pallas program replaces two kernels + a pool), the
+        shrunken late blocks run dense (where packed halo rows/columns
+        are a large M-row tax — docs/PERF.md model-scale section). One
+        unpack at the 28x28 seam is the only glue. Bitwise identical to
+        both pure schedules (tests/test_models.py)."""
+        from ..ops.packed import pack_image, unpack_image
+        from ..ops.pool import pool
+        pairs, _ = self.build_packed()
+        x = pack_image(x_u8, pairs[0].sin, xp=jnp)
+        x = pairs[0](x)
+        y = unpack_image(x, pairs[0].sout_pooled, xp=jnp)
+        for conv1, convpool2 in self.dense_blocks[1:]:
+            y = convpool2(conv1(y))
+        y = pool(y, "avg_exc", (y.shape[1], y.shape[2]),
+                 (y.shape[1], y.shape[2]), (0, 0))
+        logits = self.head(y)
+        return logits.reshape(logits.shape[0], -1)
