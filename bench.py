@@ -254,15 +254,15 @@ def bench_fused(args):
     if args.dense:
         op = ConvOp(cfg, wei, bia, wei1, bia1)
         x = jax.device_put(src)
-    elif args.single:
-        op = PackedConvOp(cfg, wei, bia, wei1, bia1)
-        x = jax.device_put(pack_image(src, op.sin))
-    else:
-        # DEFAULT: two-layer megakernel chain (ops/mega.py) — each step
-        # runs TWO fused convs in one Pallas program with the layer
-        # boundary VMEM-resident, halving HBM bytes per conv; this is
-        # the honest multi-layer model configuration and measured 81.3%
-        # vs the single packed op's 79.7% (scratch/mega_probe.py)
+    elif args.pair:
+        # two-layer megakernel chain (ops/mega.py): TWO fused convs per
+        # Pallas program, layer boundary VMEM-resident. It halves HBM
+        # bytes per conv, which WON under the round-4 carry protocol
+        # (81.4 vs 79.7); under the reference-parity fresh protocol the
+        # single op is faster (85.4 vs 89.9, scratch/pair_probe.py +
+        # nochain_probe.py — most of the "stream tax" the pair amortized
+        # was the carry chain's write->read-back turnaround), so the
+        # pair is now the model-chain option, not the default
         from deepfusion_tpu.ops.mega import PackedConvPairOp
         wei_b = rng.integers(-127, 128, (oc, ic, 3, 3)).astype(np.int8)
         bia_b = rng.integers(-100, 101, (oc,)).astype(np.int32)
@@ -272,6 +272,10 @@ def bench_fused(args):
                               cfg, (wei_b, bia_b, wei1_b, bia1_b))
         x = jax.device_put(pack_image(src, op.sin))
         convs_per_step = 2
+    else:
+        # DEFAULT: the single packed fused op (ops/packed.py)
+        op = PackedConvOp(cfg, wei, bia, wei1, bia1)
+        x = jax.device_put(pack_image(src, op.sin))
     macs = convs_per_step * n * hw * hw * (9 * ic * oc + oc * oc1)
     peak, kind = peak_ops()
 
@@ -749,9 +753,12 @@ def main():
                         "packed-domain chain (model: packed is the default "
                         "for fusionnet, where it measures faster)")
     p.add_argument("--single", action="store_true",
-                   help="fused: chain the single packed op instead of "
-                        "the default two-layer megakernel (2 fused convs "
-                        "per Pallas program, ops/mega.py)")
+                   help="fused: (now the default) chain the single "
+                        "packed op; kept for CLI compatibility")
+    p.add_argument("--pair", action="store_true",
+                   help="fused: chain the two-layer megakernel (2 fused "
+                        "convs per Pallas program, ops/mega.py) instead "
+                        "of the default single packed op")
     p.add_argument("--packed", action="store_true",
                    help="model: time the layout-persistent packed path "
                         "instead of the dense op-by-op path")

@@ -35,18 +35,36 @@ def _relu(x):
         return x  # true ReLU is the identity on unsigned values
     if x.dtype == jnp.int8:
         # Mosaic has no 8-bit integer max (arith.maxsi on vector<..xi8>
-        # fails to legalize); widen through i32 on the VPU.
-        return jnp.maximum(x.astype(jnp.int32), 0).astype(jnp.int8)
+        # fails to legalize). Widening through i32 costs three VPU
+        # passes on 4x the data and left the s8 concat at ~200 GB/s
+        # against a measured 1727 GB/s copy bound (round-5 honest-chain
+        # re-bench); instead, SWAR on the bitcast-i32 view: build a
+        # per-byte mask of negative bytes (sign bit >> 7, isolate,
+        # spread with * 0xFF — no cross-byte carries since each byte
+        # holds 0 or 1) and clear them. One shift + and + mul + andnot
+        # per FOUR values, byte-order independent.
+        if env.interpret_kernels() or x.shape[0] % 4:
+            return jnp.maximum(x.astype(jnp.int32), 0).astype(jnp.int8)
+        v = pltpu.bitcast(x, jnp.int32)
+        sign = jax.lax.shift_right_logical(v, 7) & jnp.int32(0x01010101)
+        mask = sign * jnp.int32(0xFF)
+        return pltpu.bitcast(v & ~mask, jnp.int8)
     return jnp.maximum(x, jnp.zeros((), dtype=x.dtype))
 
 
-def _concat_kernel(*refs, offsets, with_relu):
+def _concat_kernel(*refs, with_relu):
     *src_refs, out_ref = refs
-    for ref, off in zip(src_refs, offsets):
+    parts = []
+    for ref in src_refs:
         x = ref[...]
         if with_relu:
             x = _relu(x)
-        out_ref[:, off:off + x.shape[-1]] = x
+        parts.append(x)
+    # ONE full-width store: per-source partial-lane stores serialized
+    # the write pipeline (measured ~200 GB/s vs the 1727 GB/s copy
+    # bound; round-5 concat re-bench)
+    out_ref[...] = parts[0] if len(parts) == 1 \
+        else jnp.concatenate(parts, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -55,14 +73,8 @@ def _concat_call(cfg: ConcatConfig, *srcs):
     flat = [s.reshape(m, s.shape[-1]) for s in srcs]
     tile = min(_ROW_TILE, m)
     grid = (pl.cdiv(m, tile),)
-    offsets = []
-    off = 0
-    for ic in cfg.ics:
-        offsets.append(off)
-        off += ic
     out = pl.pallas_call(
-        functools.partial(_concat_kernel, offsets=tuple(offsets),
-                          with_relu=cfg.with_relu),
+        functools.partial(_concat_kernel, with_relu=cfg.with_relu),
         out_shape=jax.ShapeDtypeStruct((m, cfg.oc), cfg.dt.np),
         grid=grid,
         in_specs=[

@@ -242,3 +242,39 @@ def pack_all(cfg: ConvConfig, wei, bias=None, wei1x1=None, bias1x1=None
             "scale1": widen_scales(cfg.conv1_scales, cfg.oc1x1, cfg.oc1x1p),
         })
     return out
+
+
+def pack_sparse_s2d_weights(wei_oihw: np.ndarray, ocp: int) -> np.ndarray:
+    """OIHW s8 weights of a STRIDED conv -> (KH*KW*IC, OCP) rows ordered
+    (kh, kw, ic), for the sparse-phase s2d tap formulation.
+
+    The dense s2d lowering spreads a kh x kw kernel over
+    ceil(k/s)^2 taps x s^2 phase groups — for 3x3/s2 that is 16
+    tap-phase slots of which only 9 hold nonzero weights, a 16/9
+    logical-MAC inflation the MXU pays in full. The sparse formulation
+    enumerates only the ORIGINAL taps: each (ki, kj) maps to s2d row
+    block qi = ki // sh, column shift qj = kj // sw, and phase lane
+    window g = (ki % sh) * sw + kj % sw; the kernel lane-slices the
+    packed s2d image per tap (requires ic % 128 == 0 so slices are
+    lane-aligned) and the weight matrix carries exactly kh*kw*ic rows.
+    """
+    w = np.asarray(wei_oihw)
+    oc, ic, kh, kw = w.shape
+    out = np.zeros((kh, kw, ic, ocp), dtype=np.int8)
+    out[..., :oc] = np.transpose(w, (2, 3, 1, 0))
+    return out.reshape(kh * kw * ic, ocp)
+
+
+def sparse_s2d_taps(cfg_orig) -> tuple:
+    """The sparse-phase tap descriptor for a strided config: a tuple of
+    (qi, lane_lo, lane_hi, qj) per original tap, in (kh, kw) row-major
+    order (matching pack_sparse_s2d_weights rows)."""
+    o = cfg_orig
+    taps = []
+    for ki in range(o.kh):
+        qi, a = divmod(ki, o.sh)
+        for kj in range(o.kw):
+            qj, b = divmod(kj, o.sw)
+            g = a * o.sw + b
+            taps.append((qi, g * o.ic, (g + 1) * o.ic, qj))
+    return tuple(taps)

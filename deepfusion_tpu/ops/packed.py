@@ -264,7 +264,8 @@ def _shifted_patch(patch, d, interp):
 
 def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
                    ssum: PackedSpec = None, pool2: bool = False,
-                   t_off: int = 0, nt_tot: int = None, row0_off: int = 0):
+                   t_off: int = 0, nt_tot: int = None, row0_off: int = 0,
+                   sparse_taps: tuple = None):
     n_src = len(sins)
     sin = sins[0]
     src_refs, refs = refs[:n_src], refs[n_src:]
@@ -306,6 +307,27 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
     s0 = t * T + delta - cfg.ph - row0_off
     if off_top or off_bot:
         s0 = jnp.clip(s0, 0, sin.rows - (T + cfg.kh - 1))
+    def boundary_roll(x):
+        if not (off_top or off_bot):
+            return x
+        if interp:
+            if off_top:
+                x = jnp.where(t == 0, jnp.roll(x, off_top * iwp, 0), x)
+            if off_bot:
+                x = jnp.where(t == nt - 1,
+                              jnp.roll(x, -off_bot * iwp, 0), x)
+            return x
+        p32 = pltpu.bitcast(x, jnp.int32)
+        mq = m // 4
+        if off_top:
+            p32 = jnp.where(t == 0,
+                            pltpu.roll(p32, off_top * iwp // 4, 0), p32)
+        if off_bot:
+            p32 = jnp.where(t == nt - 1,
+                            pltpu.roll(p32, mq - off_bot * iwp // 4, 0),
+                            p32)
+        return pltpu.bitcast(p32, jnp.int8)
+
     blocks = []
     for ki in range(cfg.kh):
         base = pl.multiple_of((s0 + ki) * iwp, 8)
@@ -316,26 +338,8 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
             # (ki, src0 lanes..., src1 lanes...), matching cfg.ic layout
             blocks.append(jnp.concatenate(
                 [r[0, pl.ds(base, m), :] for r in src_refs], axis=-1))
-    patch = jnp.concatenate(blocks, axis=-1)   # (m, kh*icp)
-    if off_top or off_bot:
-        if interp:
-            if off_top:
-                patch = jnp.where(t == 0,
-                                  jnp.roll(patch, off_top * iwp, 0), patch)
-            if off_bot:
-                patch = jnp.where(t == nt - 1,
-                                  jnp.roll(patch, -off_bot * iwp, 0), patch)
-        else:
-            p32 = pltpu.bitcast(patch, jnp.int32)   # (m//4, kh*icp)
-            mq = m // 4
-            if off_top:
-                p32 = jnp.where(
-                    t == 0, pltpu.roll(p32, off_top * iwp // 4, 0), p32)
-            if off_bot:
-                p32 = jnp.where(
-                    t == nt - 1,
-                    pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
-            patch = pltpu.bitcast(p32, jnp.int8)
+    if sparse_taps is None:
+        patch = boundary_roll(jnp.concatenate(blocks, axis=-1))
     # out flat col c holds image col (c - col_off_out); tap kj reads the
     # input at flat position p + d with d = col_off_in - col_off_out + kj
     # - pw. Two exact formulations (identical incl. wrap rows, which land
@@ -350,7 +354,19 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
     ksub = cfg.kh * cfg.icp
     ds_taps = [sin.col_off - sout.col_off + kj - cfg.pw
                for kj in range(cfg.kw)]
-    if all(abs(d) < 4 for d in ds_taps):
+    if sparse_taps is not None:
+        # sparse-phase s2d: one lane-sliced, byte-shifted tap per
+        # ORIGINAL strided-conv tap — kh*kw*ic K rows instead of the
+        # dense lowering's ceil(k/s)^2 * s^2 * ic (16/9 MAC inflation
+        # for 3x3/s2; layout.pack_sparse_s2d_weights)
+        rolled = [boundary_roll(b) for b in blocks]
+        parts = [_shifted_patch(
+            rolled[qi][:, lo:hi],
+            sin.col_off - sout.col_off + qj - cfg.pw, interp)
+            for (qi, lo, hi, qj) in sparse_taps]
+        wide = jnp.concatenate(parts, axis=-1)
+        acc = jnp.dot(wide, w3_ref[...], preferred_element_type=jnp.int32)
+    elif all(abs(d) < 4 for d in ds_taps):
         taps = [_shifted_patch(patch, d, interp) for d in ds_taps]
         wide = taps[0] if cfg.kw == 1 else jnp.concatenate(taps, axis=-1)
         acc = jnp.dot(wide, w3_ref[...], preferred_element_type=jnp.int32)
@@ -436,11 +452,12 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "sins", "sout", "ssum",
                                     "pool2", "t_range", "nt_tot",
-                                    "row0_off"))
+                                    "row0_off", "sparse_taps"))
 def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
                  arrs, *operands, ssum: PackedSpec = None, sum_arr=None,
                  pool2: bool = False, t_range: tuple = None,
-                 nt_tot: int = None, row0_off: int = 0):
+                 nt_tot: int = None, row0_off: int = 0,
+                 sparse_taps: tuple = None):
     """t_range=(t0, t1): emit only output tiles [t0, t1) of the nt_tot
     tile space (output shape covers just the range; caller concatenates).
     row0_off: the input arrays are row slices starting at that flat row
@@ -452,7 +469,10 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
     iwp = sin.iwp
     m = T * iwp
     ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
-    k_dim = cfg.kh * cfg.kw * cfg.icp
+    if sparse_taps is not None:
+        k_dim = sum(hi - lo for (_, lo, hi, _) in sparse_taps)
+    else:
+        k_dim = cfg.kh * cfg.kw * cfg.icp
     t0, t1 = t_range if t_range is not None else (0, sout.rows // T)
     grid = (n, t1 - t0)
 
@@ -500,7 +520,8 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
     return pl.pallas_call(
         functools.partial(_packed_kernel, cfg=cfg, sins=sins, sout=sout,
                           ssum=ssum, pool2=pool2, t_off=t0,
-                          nt_tot=nt_tot, row0_off=row0_off),
+                          nt_tot=nt_tot, row0_off=row0_off,
+                          sparse_taps=sparse_taps),
         out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
         grid=grid,
         in_specs=in_specs,
@@ -831,12 +852,24 @@ class PackedConvOp:
         # describes the packed s2d image and pack_input() applies the
         # regroup at the model boundary
         self.cfg_orig = None
+        self.sparse_taps = None
+        wei_orig = wei
         if cfg.sh > 1 or cfg.sw > 1:
             self.cfg_orig = cfg
             wei = layout.s2d_weights(cfg, np.asarray(wei))
             cfg = layout.s2d_cfg(cfg)
         cfg = _narrow_cfg(cfg)
         packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
+        if self.cfg_orig is not None and self.cfg_orig.ic % 128 == 0:
+            # sparse-phase s2d taps: enumerate only the original taps,
+            # lane-slicing the phase groups (needs lane-aligned ic) —
+            # removes the dense lowering's zero-phase MAC inflation
+            # (16/9 for 3x3/s2; layout.pack_sparse_s2d_weights)
+            w3s = layout.pack_sparse_s2d_weights(np.asarray(wei_orig),
+                                                 cfg.ocp)
+            packed["w3"] = w3s
+            packed["corr0"] = layout.u8_shift_correction(w3s)
+            self.sparse_taps = layout.sparse_s2d_taps(self.cfg_orig)
         # pad lanes must produce exactly -128: zero their scales so the
         # epilogue's f32 chain lands on round(0)-128 without any select
         packed["scale0"][cfg.oc:] = 0.0
@@ -952,6 +985,8 @@ class PackedConvOp:
             operands = self._cache.for_call(arrs[0])
         if self.pool2:
             kw["pool2"] = True
+        if self.sparse_taps is not None:
+            kw["sparse_taps"] = self.sparse_taps
         return _packed_call(self.cfg, self.sins, self.sout,
                             arrs, *operands, **kw)
 
@@ -975,12 +1010,16 @@ class PackedConvOp:
                 zip(self._OPERAND_KEYS, self._operands)}
         np.savez(path, __cfg__=dump_configs(**specs),
                  __n_sins__=np.int64(len(self.sins)),
-                 __pool2__=np.bool_(self.pool2), **arrs)
+                 __pool2__=np.bool_(self.pool2),
+                 __sparse__=np.bool_(self.sparse_taps is not None),
+                 **arrs)
 
     @classmethod
     def load(cls, path: str) -> "PackedConvOp":
         import json
+
         from ..utils.persist import load_configs
+        from . import layout
         data = np.load(path, allow_pickle=False)
         n_sins = int(data["__n_sins__"])
         present = set(json.loads(str(data["__cfg__"])))
@@ -996,6 +1035,11 @@ class PackedConvOp:
         op.cfg_orig = cfgs.get("cfg_orig")
         op.ssum = cfgs.get("ssum")
         op.pool2 = bool(data["__pool2__"]) if "__pool2__" in data else False
+        # the tap descriptor is a pure function of cfg_orig; the flag
+        # records whether the saved w3/corr0 are the sparse pack
+        op.sparse_taps = (layout.sparse_s2d_taps(op.cfg_orig)
+                          if "__sparse__" in data and bool(data["__sparse__"])
+                          else None)
         op.sins = tuple(cfgs[f"sin{i}"] for i in range(n_sins))
         op.sin = op.sins[0]
         op.sout = cfgs["sout"]

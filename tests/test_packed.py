@@ -462,3 +462,57 @@ def test_packed_conv_pool2_save_load(tmp_path, rng):
     reloaded = PackedConvOp.load(path)
     assert reloaded.pool2
     np.testing.assert_array_equal(np.asarray(reloaded(x)), want)
+
+
+@pytest.mark.parametrize("k,stride,pad,fused", [(3, 2, 1, False),
+                                                (3, 2, 1, True),
+                                                (5, 2, 2, False),
+                                                (3, 3, 1, False)])
+def test_packed_strided_sparse_phase(k, stride, pad, fused, rng):
+    """ic % 128 == 0 routes the strided op through the SPARSE-PHASE s2d
+    tap formulation (lane-sliced per-tap phase groups, K = kh*kw*ic
+    rows — no zero-phase MAC inflation); must equal the dense strided
+    ConvOp bit-for-bit, incl. fused 1x1 (round-5 strided-kernel work)."""
+    from deepfusion_tpu.ops.conv import ConvOp
+    mb, hw, ic, oc = 1, 10, 128, 32
+    oh = conv_output_size(hw, k, stride, pad)
+    src = fill_data((mb, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, k, k), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    oc1 = 32 if fused else None
+    wei1 = fill_data((oc1, oc, 1, 1), "s8", rng) if fused else None
+    bia1 = fill_data((oc1,), "s32", rng) if fused else None
+    cfg = ConvConfig.make(
+        (mb, hw, hw, ic), (oc, ic, k, k), bia.dtype,
+        (stride, stride), (pad, pad),
+        (mb, oh, oh, oc1 if fused else oc), "u8",
+        conv0_relu=True, conv0_scales=(0.02,),
+        wei1x1_shape=(oc1, oc, 1, 1) if fused else None,
+        bia1x1_dt=bia1.dtype if fused else None,
+        conv1_relu=fused, conv1_scales=(0.4,) if fused else (1.0,))
+    expect = np.asarray(ConvOp(cfg, wei, bia, wei1, bia1)(src))
+    pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    assert pop.sparse_taps is not None
+    assert len(pop.sparse_taps) == k * k
+    out = pop(pop.pack_input(src))
+    compare(unpack_image(np.asarray(out), pop.sout), expect,
+            f"sparse-phase strided k={k} s={stride} p={pad} fused={fused}")
+
+
+def test_packed_strided_sparse_save_load(tmp_path, rng):
+    mb, hw, ic, oc = 1, 10, 128, 32
+    oh = conv_output_size(hw, 3, 2, 1)
+    src = fill_data((mb, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    cfg = ConvConfig.make((mb, hw, hw, ic), (oc, ic, 3, 3), bia.dtype,
+                          (2, 2), (1, 1), (mb, oh, oh, oc), "u8",
+                          conv0_relu=True, conv0_scales=(0.02,))
+    pop = PackedConvOp(cfg, wei, bia)
+    assert pop.sparse_taps is not None
+    path = str(tmp_path / "sparse.npz")
+    pop.save(path)
+    pop2 = PackedConvOp.load(path)
+    assert pop2.sparse_taps == pop.sparse_taps
+    np.testing.assert_array_equal(np.asarray(pop(pop.pack_input(src))),
+                                  np.asarray(pop2(pop2.pack_input(src))))
