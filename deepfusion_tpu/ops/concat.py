@@ -26,8 +26,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ConcatConfig
 from ..utils import env
 
-# rows per grid program; int8 wants >=32 sublanes, f32 >=8.
-_ROW_TILE = 512
+# rows per grid program; int8 wants >=32 sublanes, f32 >=8. The op is
+# pure bandwidth: big tiles amortize per-step grid overhead (512-row
+# tiles ran the reference workload at ~25% of HBM peak across 465
+# steps; see the round-5 concat section of docs/PERF.md).
+_ROW_TILE = 4096
 
 
 def _relu(x):

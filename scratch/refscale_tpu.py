@@ -227,7 +227,7 @@ def main():
             ("_composed" if args.composed else "")
         path = os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "artifacts",
-            f"REFSCALE_r04{suffix}.json")
+            f"REFSCALE_r05{suffix}.json")
         with open(path, "a") as f:
             for line in results:
                 f.write(json.dumps(line) + "\n")
