@@ -26,11 +26,13 @@ from jax.experimental.pallas import tpu as pltpu
 from ..config import ConcatConfig
 from ..utils import env
 
-# rows per grid program; int8 wants >=32 sublanes, f32 >=8. The op is
-# pure bandwidth: big tiles amortize per-step grid overhead (512-row
-# tiles ran the reference workload at ~25% of HBM peak across 465
-# steps; see the round-5 concat section of docs/PERF.md).
-_ROW_TILE = 4096
+# image rows per grid program. The op is pure bandwidth; the kernel
+# works on the NHWC arrays DIRECTLY — flattening (bs, h, w, c) to
+# (bs*h*w, c) looks free but h/w are rarely multiples of the (8, 128)
+# tile, so XLA materializes a physical relayout of every input AND the
+# output around the kernel (measured: 207 GB/s flattened vs 658 GB/s
+# for the same bytes through a 4-D copy kernel, scratch/concat_probe.py).
+_H_TILE = 16
 
 
 def _relu(x):
@@ -46,7 +48,8 @@ def _relu(x):
         # spread with * 0xFF — no cross-byte carries since each byte
         # holds 0 or 1) and clear them. One shift + and + mul + andnot
         # per FOUR values, byte-order independent.
-        if env.interpret_kernels() or x.shape[0] % 4:
+        if env.interpret_kernels() or x.shape[-2] % 4:
+            # bitcast groups along the second-to-minor (sublane) dim
             return jnp.maximum(x.astype(jnp.int32), 0).astype(jnp.int8)
         v = pltpu.bitcast(x, jnp.int32)
         sign = jax.lax.shift_right_logical(v, 7) & jnp.int32(0x01010101)
@@ -72,25 +75,24 @@ def _concat_kernel(*refs, with_relu):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _concat_call(cfg: ConcatConfig, *srcs):
-    m = cfg.bs * cfg.h * cfg.w
-    flat = [s.reshape(m, s.shape[-1]) for s in srcs]
-    tile = min(_ROW_TILE, m)
-    grid = (pl.cdiv(m, tile),)
-    out = pl.pallas_call(
+    th = min(_H_TILE, cfg.h)
+    grid = (cfg.bs, pl.cdiv(cfg.h, th))
+    return pl.pallas_call(
         functools.partial(_concat_kernel, with_relu=cfg.with_relu),
-        out_shape=jax.ShapeDtypeStruct((m, cfg.oc), cfg.dt.np),
+        out_shape=jax.ShapeDtypeStruct(
+            (cfg.bs, cfg.h, cfg.w, cfg.oc), cfg.dt.np),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((tile, ic), lambda i: (i, 0),
+            pl.BlockSpec((1, th, cfg.w, ic), lambda b, t: (b, t, 0, 0),
                          memory_space=pltpu.VMEM)
             for ic in cfg.ics
         ],
-        out_specs=pl.BlockSpec((tile, cfg.oc), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, th, cfg.w, cfg.oc),
+                               lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        compiler_params=env.tpu_compiler_params(("parallel",)),
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         interpret=env.interpret_kernels(),
-    )(*flat)
-    return out.reshape(cfg.bs, cfg.h, cfg.w, cfg.oc)
+    )(*srcs)
 
 
 def concat(srcs: Sequence, post_relu: bool = False):
