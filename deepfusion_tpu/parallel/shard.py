@@ -459,8 +459,9 @@ def sp_conv(conv_op, mesh: Mesh, axis: str = "sp",
     dp x sp configuration exercised by ``__graft_entry__.dryrun_multichip``).
 
     Sum post-op configs are supported (the sum operand shards over H with
-    the output; requires oh == ih so shard boundaries align). Pooled and
-    packed op families fail fast — batch-shard those with ``dp_shard``.
+    the output; requires oh == ih so shard boundaries align). Packed op
+    families have their own spatial wrapper (``sp_packed``); pooled dense
+    ops fail fast — batch-shard those with ``dp_shard``.
     """
     from ..ops.conv import ConvOp
     check(type(conv_op) is ConvOp,
