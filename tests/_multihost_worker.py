@@ -64,6 +64,45 @@ def main():
         lo = s.index[0].start or 0
         got = np.asarray(s.data)
         np.testing.assert_array_equal(got, want[lo:lo + got.shape[0]])
+    # --- sp_packed across processes: the packed-domain ppermute halo
+    # exchange rides the CROSS-PROCESS collective path (each process
+    # owns one horizontal slab of the image; its halo rows arrive from
+    # the neighbor process)
+    from jax.sharding import NamedSharding as NS
+    from deepfusion_tpu.ops.packed import (PackedConvOp, pack_image,
+                                           pack_image_sharded,
+                                           unpack_image)
+    from deepfusion_tpu.parallel.shard import sp_packed
+
+    rng2 = np.random.default_rng(11)
+    hw2 = 16
+    src2 = rng2.integers(0, 256, (2, hw2, hw2, 32), dtype=np.uint8)
+    wei2 = rng2.integers(-10, 11, (32, 32, 3, 3)).astype(np.int8)
+    cfg2 = ConvConfig.make((2, hw2, hw2, 32), (32, 32, 3, 3), None,
+                           (1, 1), (1, 1), (2, hw2, hw2, 32), "u8",
+                           conv0_relu=True, conv0_scales=(0.05,))
+    op2 = PackedConvOp(cfg2, wei2)
+    n_sp = jax.device_count()
+    mesh2 = Mesh(np.array(jax.devices()).reshape(-1), ("sp",))
+    fn2 = sp_packed(op2, mesh2)
+    xs = pack_image_sharded(src2, fn2.local_spec, n_sp)
+    rl_in = fn2.local_spec.rows * fn2.local_spec.iwp
+    sh2 = NS(mesh2, P(None, "sp", None))
+    per_proc = n_sp // nproc
+    gx2 = jax.make_array_from_process_local_data(
+        sh2, xs[:, pid * per_proc * rl_in:(pid + 1) * per_proc * rl_in])
+    out2 = fn2(gx2)
+    want2 = unpack_image(
+        np.asarray(op2(pack_image(src2, op2.sin))), op2.sout)
+    h_loc = hw2 // n_sp
+    so_l = fn2.local_out_spec
+    for s in out2.addressable_shards:
+        lo = (s.index[1].start or 0) // (so_l.rows * so_l.iwp)
+        got = unpack_image(np.asarray(s.data), so_l)
+        np.testing.assert_array_equal(
+            got, want2[:, lo * h_loc:(lo + 1) * h_loc])
+    print(f"MULTIHOST_SP_OK {pid}", flush=True)
+
     print(f"MULTIHOST_OK {pid} procs={jax.process_count()} "
           f"devices={jax.device_count()}", flush=True)
 

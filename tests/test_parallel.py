@@ -317,6 +317,8 @@ def test_multihost_two_process_dp():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {i} failed:\n{out}"
         assert f"MULTIHOST_OK {i} procs=2" in out, out
+        # the packed-domain halo exchange also executed cross-process
+        assert f"MULTIHOST_SP_OK {i}" in out, out
 
 
 # ----- dp_shard across op families (VERDICT r3 weak #4) -----
