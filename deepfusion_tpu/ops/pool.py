@@ -249,22 +249,28 @@ def _sum_relu_kernel(a_ref, b_ref, out_ref, *, dt: dtype, with_relu: bool):
 
 @functools.partial(jax.jit, static_argnames=("dt", "with_relu"))
 def _sum_relu_call(dt: dtype, with_relu: bool, a, b):
-    shape = a.shape
-    m = int(np.prod(shape[:-1]))
-    c = shape[-1]
-    a2, b2 = a.reshape(m, c), b.reshape(m, c)
-    tile = min(512, m)
+    # tile the NHWC arrays directly — flattening (..., c) to (m, c)
+    # forces XLA to materialize physical relayouts around the kernel
+    # when the merged dims are not tile-aligned (the concat lesson,
+    # docs/PERF.md round-5 concat section)
+    if a.ndim < 3:          # already 2-D (or 1-D): nothing to merge
+        a = a.reshape(1, 1, *a.shape)
+        return _sum_relu_call(dt, with_relu, a,
+                              b.reshape(a.shape)).reshape(b.shape)
+    n, h = a.shape[0], a.shape[1]
+    th = min(16, h)
+    spec = pl.BlockSpec((1, th) + tuple(a.shape[2:]),
+                        lambda b_, t: (b_, t) + (0,) * (a.ndim - 2),
+                        memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_sum_relu_kernel, dt=dt, with_relu=with_relu),
-        out_shape=jax.ShapeDtypeStruct((m, c), dt.np),
-        grid=(pl.cdiv(m, tile),),
-        in_specs=[pl.BlockSpec((tile, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM)] * 2,
-        out_specs=pl.BlockSpec((tile, c), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        compiler_params=env.tpu_compiler_params(("parallel",)),
+        out_shape=jax.ShapeDtypeStruct(a.shape, dt.np),
+        grid=(n, pl.cdiv(h, th)),
+        in_specs=[spec] * 2,
+        out_specs=spec,
+        compiler_params=env.tpu_compiler_params(("parallel", "parallel")),
         interpret=env.interpret_kernels(),
-    )(a2, b2).reshape(shape)
+    )(a, b)
 
 
 def eltwise_sum_relu(a, b, with_relu: bool = True):
