@@ -409,8 +409,10 @@ def bench_conv(args):
 
 def bench_concat(args):
     """Reference default workload (benchmark/bench_concat.cc:226-242):
-    4 inputs of {128,256}ch @244x244 s8, relu on. Bandwidth-bound; metric =
-    % of HBM peak (v5e: 819 GB/s).
+    4 inputs s8, relu on; --concat-hw picks among the reference's three
+    default shape sets ({128,256}ch@244^2 default, {64,96}ch@64^2,
+    {16,64}ch@9^2). Bandwidth-bound; metric = % of HBM peak (v5e:
+    819 GB/s).
 
     Default chain = FRESH-INPUTS loop (the nochain finding, docs/PERF.md
     protocol section): each step concats the same source buffers and the
@@ -424,10 +426,14 @@ def bench_concat(args):
     import jax
     import jax.numpy as jnp
 
-    chans = (128, 256, 128, 256)
+    # the reference's three default shape sets (bench_concat.cc:226-242)
+    sets = {244: (128, 256, 128, 256), 64: (64, 96, 64, 96),
+            9: (16, 64, 16, 64)}
+    hw = args.concat_hw
+    chans = sets[hw]
     rng = np.random.default_rng(0)
     srcs = tuple(
-        jax.device_put(rng.integers(-10, 11, (4, 244, 244, c)).astype(np.int8))
+        jax.device_put(rng.integers(-10, 11, (4, hw, hw, c)).astype(np.int8))
         for c in chans)
 
     if args.feedback:
@@ -442,7 +448,7 @@ def bench_concat(args):
 
         # the chain moves the bytes twice: concat (read srcs + write y)
         # and the feedback negate-split (read y + write srcs)
-        nbytes = 4 * sum(4 * 244 * 244 * c for c in chans)
+        nbytes = 4 * sum(4 * hw * hw * c for c in chans)
     else:
         def step(srcs):
             y = concat(list(srcs), post_relu=True)
@@ -450,12 +456,15 @@ def bench_concat(args):
             return tuple(s.at[0, 0, 0, 0].add(bump) for s in srcs)
 
         # the op's own traffic: read srcs + write y
-        nbytes = 2 * sum(4 * 244 * 244 * c for c in chans)
+        nbytes = 2 * sum(4 * hw * hw * c for c in chans)
     peak_bw = 819.0  # v5e HBM GB/s
+
+    mname = ("concat_relu_hbm_pct" if hw == 244
+             else f"concat_relu_hw{hw}_hbm_pct")
 
     def builder(sec):
         pct = 100.0 * (nbytes / sec / 1e9) / peak_bw
-        return {"metric": "concat_relu_hbm_pct", "value": round(pct, 2),
+        return {"metric": mname, "value": round(pct, 2),
                 "unit": "%", "vs_baseline": round(pct / 90.0, 4)}
 
     _PARTIAL["builder"] = builder
@@ -740,6 +749,10 @@ def main():
                         ">=50x the tunnel RTT jitter)")
     p.add_argument("--compare-xla", action="store_true",
                    help="also time a plain-XLA composition of the same op")
+    p.add_argument("--concat-hw", type=int, default=244,
+                   choices=[244, 64, 9],
+                   help="concat: which reference default shape set "
+                        "(benchmark/bench_concat.cc:226-242)")
     p.add_argument("--feedback", action="store_true",
                    help="concat: restore the round-4 feedback chain that "
                         "billed the output negate-split to the op")
