@@ -383,7 +383,7 @@ def bench_conv(args):
                 # bills a (n*oh*ow*oc)-element VPU pass to the conv
                 bump = (out[0, 0, 0, 0].astype(jnp.int32)
                         & 1).astype(jnp.uint8)
-                return x + bump
+                return x.at[0, 0, 0, 0].add(bump)
 
     aux = tuple(jax.device_put(np.asarray(a)) for a in op._operands)
     peak, kind = peak_ops()
@@ -517,10 +517,11 @@ def bench_model(args):
 
     def step(x):
         out = fwd(x)
-        # fold the logits checksum back into the input: keeps the chain
-        # data-dependent without changing the measured model cost
+        # fold the logits checksum back into the input IN PLACE: keeps
+        # the chain data-dependent without billing an extra full pass
+        # over x to the model (r5 protocol honesty pass)
         bump = (out.astype(jnp.int32).sum() & 1).astype(jnp.uint8)
-        return x + bump
+        return x.at[(0,) * x.ndim].add(bump)
 
     tag = args.model + (f"@{args.model_hw}" if args.model_hw else "") \
         + ("/hybrid" if args.hybrid else
@@ -608,8 +609,11 @@ def bench_scaling(args):
 
     def step(x):
         out = fwd(x)
+        # fold the logits checksum back into the input IN PLACE: keeps
+        # the chain data-dependent without billing an extra full pass
+        # over x to the model (r5 protocol honesty pass)
         bump = (out.astype(jnp.int32).sum() & 1).astype(jnp.uint8)
-        return x + bump
+        return x.at[(0,) * x.ndim].add(bump)
 
     def builder(sec):
         return {"metric": "fusionnet_imgs_per_sec_per_chip",
