@@ -570,3 +570,19 @@ def test_sp_packed_pair_rejects_shallow_halo(rng):
     pair = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb))  # halo 1
     with pytest.raises(CheckError):
         sp_packed(pair, make_mesh(sp=2))
+
+
+def test_sp_packed_pair_msplit_pool2(rng):
+    """sp_packed composes with the pair's msplit and pool2 knobs."""
+    from deepfusion_tpu.ops.mega import PackedConvPairOp
+    from deepfusion_tpu.ops.packed import PackedSpec
+    from test_packed import build_cfg
+
+    hw = 16
+    cfg_a, src, wa, ba, *_ = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(2, 32, hw, 32, 1, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=4, col_off=2, iwp=32)
+    pair = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin,
+                            halo_out=2, col_off_out=2, pool2=True,
+                            msplit=2)
+    _sp_packed_check(rng, pair, src, 2)
