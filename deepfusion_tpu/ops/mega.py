@@ -58,7 +58,8 @@ from ..types import dtype
 from ..utils import env
 from ..utils.logger import check
 from ..utils.opcache import OperandCache
-from .packed import PackedSpec, _narrow_cfg, _shifted_patch, pack_image
+from .packed import (PackedSpec, _narrow_cfg, _roll_boundary,
+                     _shifted_patch, pack_image)
 from .requant import requant_to_u8_centered
 
 
@@ -227,29 +228,6 @@ def _image_mask(m, iwp, row0, spec: PackedSpec, row_bounds=None):
         jnp.logical_and(col >= spec.col_off, col < spec.col_off + spec.w),
         jnp.logical_and(row >= row_lo, row < row_hi))
         ).astype(jnp.float32)
-
-
-def _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp):
-    """Un-shift a clamped window with a static roll at the extreme tiles
-    (ops/packed.py boundary trick); wrapped rows land in rows the
-    intermediate mask forces to -128 (validate_packed_pair)."""
-    if not (off_top or off_bot):
-        return x
-    if interp:
-        if off_top:
-            x = jnp.where(t == 0, jnp.roll(x, off_top * iwp, 0), x)
-        if off_bot:
-            x = jnp.where(t == nt - 1, jnp.roll(x, -off_bot * iwp, 0), x)
-        return x
-    p32 = pltpu.bitcast(x, jnp.int32)
-    mq = x.shape[0] // 4
-    if off_top:
-        p32 = jnp.where(t == 0, pltpu.roll(p32, off_top * iwp // 4, 0),
-                        p32)
-    if off_bot:
-        p32 = jnp.where(t == nt - 1,
-                        pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
-    return pltpu.bitcast(p32, jnp.int8)
 
 
 def _pair_kernel(src_ref, *refs, cfg_a: ConvConfig, cfg_b: ConvConfig,
@@ -499,6 +477,13 @@ def _pair_call(cfg_a: ConvConfig, cfg_b: ConvConfig, sin: PackedSpec,
     )(jnp.asarray(arr), *operands, *extra_args)
 
 
+def _msplit_ok(d: int, msplit: int, pool2: bool) -> bool:
+    """Row tile d is chunkable into msplit pieces (even pieces when the
+    pool2 epilogue pools 2x2 windows inside each chunk)."""
+    return d % msplit == 0 and (msplit == 1 or not pool2
+                                or (d // msplit) % 2 == 0)
+
+
 def _pair_row_tile_cands(cfg_a: ConvConfig, cfg_b: ConvConfig,
                          sin: PackedSpec, smid: PackedSpec,
                          sout: PackedSpec, split_kh: bool, pool2: bool,
@@ -591,19 +576,19 @@ class PackedConvPairOp:
         if row_tile is not None:
             check(row_tile in cands,
                   f"row_tile {row_tile} not legal (candidates: {cands})")
+        if pool2 and msplit > 1:
+            check(sin.iwp % 32 == 0,
+                  "pool2 msplit chunk stores need iwp % 32 == 0")
         if row_tile is None:
-            fit = [d for d in cands if d % msplit == 0]
-            check(bool(fit), f"no legal row_tile divisible by msplit "
-                             f"{msplit} (candidates: {cands})")
+            fit = [d for d in cands if _msplit_ok(d, msplit, pool2)]
+            check(bool(fit), f"no legal row_tile for msplit {msplit}"
+                             f"{' with pool2' if pool2 else ''} "
+                             f"(candidates: {cands})")
             row_tile = fit[-1]
         cfg_b = dataclasses.replace(cfg_b, row_tile=row_tile)
         validate_packed_pair(cfg_a, cfg_b, sin, smid, sout)
-        check(cfg_b.row_tile % msplit == 0, "msplit must divide row_tile")
-        if pool2 and msplit > 1:
-            check((cfg_b.row_tile // msplit) % 2 == 0,
-                  "pool2 msplit chunks need even rows")
-            check(sin.iwp % 32 == 0,
-                  "pool2 msplit chunk stores need iwp % 32 == 0")
+        check(_msplit_ok(cfg_b.row_tile, msplit, pool2),
+              "row_tile incompatible with msplit/pool2 chunking")
         if pool2:
             from .packed import validate_packed_maxpool2
             validate_packed_maxpool2(sout)
@@ -674,7 +659,7 @@ class PackedConvPairOp:
         cands = _pair_row_tile_cands(cfg_a, cfg_b, clone.sin, clone.smid,
                                      clone.sout, self.split_kh,
                                      self.pool2)
-        fit = [d for d in cands if d % self.msplit == 0]
+        fit = [d for d in cands if _msplit_ok(d, self.msplit, self.pool2)]
         check(bool(fit), "no legal row_tile for the reheighted pair")
         clone.cfg_a = cfg_a
         clone.cfg_b = dataclasses.replace(cfg_b, row_tile=fit[-1])

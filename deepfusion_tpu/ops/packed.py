@@ -262,6 +262,30 @@ def _shifted_patch(patch, d, interp):
     return pltpu.bitcast(out, jnp.int8)
 
 
+def _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp):
+    """Un-shift a clamped window with a static roll at the extreme tiles
+    (module docstring): wrapped rows land in rows the output/intermediate
+    mask forces to -128 (validate_packed_conv / validate_packed_pair).
+    Shared by the packed single-op kernel and the megakernel."""
+    if not (off_top or off_bot):
+        return x
+    if interp:
+        if off_top:
+            x = jnp.where(t == 0, jnp.roll(x, off_top * iwp, 0), x)
+        if off_bot:
+            x = jnp.where(t == nt - 1, jnp.roll(x, -off_bot * iwp, 0), x)
+        return x
+    p32 = pltpu.bitcast(x, jnp.int32)
+    mq = x.shape[0] // 4
+    if off_top:
+        p32 = jnp.where(t == 0, pltpu.roll(p32, off_top * iwp // 4, 0),
+                        p32)
+    if off_bot:
+        p32 = jnp.where(t == nt - 1,
+                        pltpu.roll(p32, mq - off_bot * iwp // 4, 0), p32)
+    return pltpu.bitcast(p32, jnp.int8)
+
+
 def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
                    ssum: PackedSpec = None, pool2: bool = False,
                    t_off: int = 0, nt_tot: int = None, row0_off: int = 0,
@@ -308,25 +332,7 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
     if off_top or off_bot:
         s0 = jnp.clip(s0, 0, sin.rows - (T + cfg.kh - 1))
     def boundary_roll(x):
-        if not (off_top or off_bot):
-            return x
-        if interp:
-            if off_top:
-                x = jnp.where(t == 0, jnp.roll(x, off_top * iwp, 0), x)
-            if off_bot:
-                x = jnp.where(t == nt - 1,
-                              jnp.roll(x, -off_bot * iwp, 0), x)
-            return x
-        p32 = pltpu.bitcast(x, jnp.int32)
-        mq = m // 4
-        if off_top:
-            p32 = jnp.where(t == 0,
-                            pltpu.roll(p32, off_top * iwp // 4, 0), p32)
-        if off_bot:
-            p32 = jnp.where(t == nt - 1,
-                            pltpu.roll(p32, mq - off_bot * iwp // 4, 0),
-                            p32)
-        return pltpu.bitcast(p32, jnp.int8)
+        return _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp)
 
     blocks = []
     for ki in range(cfg.kh):
@@ -860,28 +866,6 @@ class PackedConvOp:
             cfg = layout.s2d_cfg(cfg)
         cfg = _narrow_cfg(cfg)
         packed = layout.pack_all(cfg, wei, bia, wei1x1, bia1x1)
-        if self.cfg_orig is not None and self.cfg_orig.ic % 128 == 0:
-            # sparse-phase s2d taps: enumerate only the original taps,
-            # lane-slicing the phase groups (needs lane-aligned ic) —
-            # removes the dense lowering's zero-phase MAC inflation
-            # (16/9 for 3x3/s2; layout.pack_sparse_s2d_weights)
-            w3s = layout.pack_sparse_s2d_weights(np.asarray(wei_orig),
-                                                 cfg.ocp)
-            packed["w3"] = w3s
-            packed["corr0"] = layout.u8_shift_correction(w3s)
-            self.sparse_taps = layout.sparse_s2d_taps(self.cfg_orig)
-        # pad lanes must produce exactly -128: zero their scales so the
-        # epilogue's f32 chain lands on round(0)-128 without any select
-        packed["scale0"][cfg.oc:] = 0.0
-        if cfg.fuse_conv1x1:
-            packed["scale1"][cfg.oc1x1:] = 0.0
-        keys = (("w3", "corr0", "bias0", "scale0")
-                + (("w1", "corr1", "bias1", "scale1")
-                   if cfg.fuse_conv1x1 else ()))
-        # host numpy cache: safe to construct inside a traced model
-        # forward (numpy cannot leak as a tracer) and safe to close over
-        # in traced callers — see utils/opcache.py
-        self._cache = OperandCache([packed[k] for k in keys])
         out_c = cfg.oc1x1 if cfg.fuse_conv1x1 else cfg.oc
         ocp_out = cfg.oc1x1p if cfg.fuse_conv1x1 else cfg.ocp
         min_halo = max(cfg.ph, 1)
@@ -898,6 +882,35 @@ class PackedConvOp:
         sout = PackedSpec(h=cfg.oh, w=cfg.ow, c=out_c, cp=ocp_out,
                           halo=halo_out, col_off=col_off_out,
                           iwp=sin.iwp)
+        if self.cfg_orig is not None and self.cfg_orig.ic % 128 == 0:
+            # sparse-phase s2d taps: enumerate only the original taps,
+            # lane-slicing the phase groups — removes the dense
+            # lowering's zero-phase MAC inflation (16/9 for 3x3/s2;
+            # layout.pack_sparse_s2d_weights). Needs lane-aligned ic AND
+            # every column tap within the byte-shift range (|d| < 4 —
+            # the dense branch has an output-roll fallback, the sparse
+            # branch does not; r5 review finding), else stay dense.
+            taps = layout.sparse_s2d_taps(self.cfg_orig)
+            ds = [sin.col_off - sout.col_off + qj - cfg.pw
+                  for (_, _, _, qj) in taps]
+            if all(abs(d) < 4 for d in ds):
+                w3s = layout.pack_sparse_s2d_weights(
+                    np.asarray(wei_orig), cfg.ocp)
+                packed["w3"] = w3s
+                packed["corr0"] = layout.u8_shift_correction(w3s)
+                self.sparse_taps = taps
+        # pad lanes must produce exactly -128: zero their scales so the
+        # epilogue's f32 chain lands on round(0)-128 without any select
+        packed["scale0"][cfg.oc:] = 0.0
+        if cfg.fuse_conv1x1:
+            packed["scale1"][cfg.oc1x1:] = 0.0
+        keys = (("w3", "corr0", "bias0", "scale0")
+                + (("w1", "corr1", "bias1", "scale1")
+                   if cfg.fuse_conv1x1 else ()))
+        # host numpy cache: safe to construct inside a traced model
+        # forward (numpy cannot leak as a tracer) and safe to close over
+        # in traced callers — see utils/opcache.py
+        self._cache = OperandCache([packed[k] for k in keys])
         cfg = dataclasses.replace(
             cfg, row_tile=_pick_row_tile(cfg, sin, sout, pool2))
         self.cfg = cfg

@@ -352,7 +352,6 @@ def sp_packed(op, mesh: Mesh, axis: str = "sp",
         if can_split else None
     has_sum = (not is_pair) and op.ssum is not None
     pool2 = local.pool2
-    m_out = ((T // 2) * (iwp // 2)) if pool2 else T * iwp
 
     def call(arr, sin_use, tr, r0, sum_arr=None, mid_bounds=None):
         ops_ = tuple(local._cache.for_call(arr))

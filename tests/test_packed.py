@@ -516,3 +516,28 @@ def test_packed_strided_sparse_save_load(tmp_path, rng):
     assert pop2.sparse_taps == pop.sparse_taps
     np.testing.assert_array_equal(np.asarray(pop(pop.pack_input(src))),
                                   np.asarray(pop2(pop2.pack_input(src))))
+
+
+def test_packed_strided_sparse_falls_back_on_wide_taps(rng):
+    """|d| >= 4 column taps exceed the byte-shift range; the sparse-phase
+    path must fall back to the dense-phase pack (which has the
+    output-roll fallback) instead of silently mis-shifting on hardware
+    (r5 review finding)."""
+    from deepfusion_tpu.ops.conv import ConvOp
+    from deepfusion_tpu.ops import layout
+    mb, hw, ic, oc = 1, 10, 128, 32
+    oh = conv_output_size(hw, 3, 2, 1)
+    src = fill_data((mb, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    cfg = ConvConfig.make((mb, hw, hw, ic), (oc, ic, 3, 3), bia.dtype,
+                          (2, 2), (1, 1), (mb, oh, oh, oc), "u8",
+                          conv0_relu=True, conv0_scales=(0.02,))
+    cfg2 = layout.s2d_cfg(cfg)
+    sin = PackedSpec.make(cfg2.ih, cfg2.iw, cfg2.ic, halo=1, col_off=5,
+                          iwp=((cfg2.iw + 5 + 1 + 7) // 8) * 8)
+    pop = PackedConvOp(cfg, wei, bia, sin=sin, col_off_out=1, halo_out=1)
+    assert pop.sparse_taps is None       # d in {4, 5}: out of range
+    expect = np.asarray(ConvOp(cfg, wei, bia)(src))
+    compare(unpack_image(np.asarray(pop(pop.pack_input(src))), pop.sout),
+            expect, "sparse fallback wide taps")

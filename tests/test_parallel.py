@@ -586,3 +586,48 @@ def test_sp_packed_pair_msplit_pool2(rng):
                             halo_out=2, col_off_out=2, pool2=True,
                             msplit=2)
     _sp_packed_check(rng, pair, src, 2)
+
+
+def test_sp_packed_split_path_conv(rng):
+    """Exercise the interior/boundary OVERLAP SPLIT (nt >= 3): a wide
+    iwp caps the row tile at T=6 over 18 local rows, so the wrapper
+    takes the t_range/row0_off sliced-boundary path instead of the
+    single full-exchange call (r5 review: every other suite geometry
+    lands nt <= 2 and never reached this machinery)."""
+    import deepfusion_tpu.parallel.shard as shard_mod
+    from deepfusion_tpu.ops.packed import PackedConvOp, PackedSpec
+    from helpers import fill_data
+
+    hw = 32
+    src = fill_data((1, hw, hw, 32), "u8", rng)
+    wei = fill_data((32, 32, 3, 3), "s8", rng)
+    bia = fill_data((32,), "s32", rng)
+    cfg = ConvConfig.make((1, hw, hw, 32), (32, 32, 3, 3), bia.dtype,
+                          (1, 1), (1, 1), (1, hw, hw, 32), "u8",
+                          conv0_relu=True, conv0_scales=(0.02,))
+    sin = PackedSpec.make(hw, hw, 32, halo=1, col_off=1, iwp=1024)
+    op = PackedConvOp(cfg, wei, bia, sin=sin)
+    local = op.reheight(hw // 2)
+    assert local.sout.rows // local.cfg.row_tile >= 3, \
+        "geometry no longer reaches the split path — fix the test"
+    _sp_packed_check(rng, op, src, 2)
+
+
+def test_sp_packed_split_path_pair(rng):
+    """The megakernel through the sliced-boundary split (absolute-tile
+    rolls disabled by roll-free erosion, offs override, row0_off
+    re-basing)."""
+    from deepfusion_tpu.ops.mega import PackedConvPairOp
+    from deepfusion_tpu.ops.packed import PackedSpec
+    from test_packed import build_cfg
+
+    hw = 32
+    cfg_a, src, wa, ba, *_ = build_cfg(1, 32, hw, 32, 1, rng=rng)
+    cfg_b, _, wb, bb, *_ = build_cfg(1, 32, hw, 32, 1, rng=rng)
+    sin = PackedSpec.make(hw, hw, 32, halo=3, col_off=1, iwp=1024)
+    pair = PackedConvPairOp(cfg_a, (wa, ba), cfg_b, (wb, bb), sin=sin,
+                            halo_out=1, col_off_out=1)
+    local = pair.reheight(hw // 2)
+    assert local.sout.rows // local.cfg_b.row_tile >= 3, \
+        "geometry no longer reaches the split path — fix the test"
+    _sp_packed_check(rng, pair, src, 2)
