@@ -2,12 +2,7 @@
 
 The packed domain (ops/packed.py) already removes the inter-op layout
 glue; what remains per conv is one HBM read of the packed input and one
-HBM write of the packed output. On this chip that stream traffic is the
-binding term of the fused kernel's roofline gap (~13pp): consuming
-streamed bytes costs compute time no matter how the DMA is structured —
-six kernel structures measured, docs/PERF.md "stream tax". The megakernel
-attacks the tax the only way the measurements leave open: *amortize* the
-bytes over more MACs. One Pallas program computes
+HBM write of the packed output. One Pallas program computes
 
     packed in --conv_a(3x3[+1x1])--> VMEM intermediate
               --conv_b(3x3[+1x1])--> packed out
@@ -17,6 +12,15 @@ the reference's register-residency invariant applied one level up: its
 fused 3x3->1x1 keeps the intermediate in zmm registers
 (``src/jit_conv_kernel.cc:275-277``); here the whole *layer boundary*
 stays in VMEM.
+
+Perf status (round 5, docs/PERF.md): the pair is the best
+PRODUCER->CONSUMER chain configuration — each layer reading the buffer
+the previous one just wrote costs a measured ~10pp HBM write->read-back
+turnaround, which byte-halving partially amortizes (pair-carry 81-83%
+of roofline vs single-carry 79%). Under the reference's re-submit
+protocol (stable input buffers) the turnaround vanishes and the single
+op wins (87-90% vs 85-86%), so the megakernel is the model-chain
+option (``bench.py --pair``), not the bench default.
 
 Geometry (the interesting part). The grid covers the output's padded row
 space in tiles of T rows, like ops/packed.py. For output tile rows

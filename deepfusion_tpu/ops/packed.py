@@ -24,8 +24,9 @@ is stored as an int8 array of shape ``(N, (H + 2*halo) * iwp, cp)`` where
 The packed conv kernel (stride 1, u8 destination) then:
 
 * slices its KH row blocks straight out of the incoming packed array,
-* applies the kw taps as output-side ``pltpu.roll`` shifts exactly like
-  ops/conv.py,
+* applies the kw taps as input-side byte shifts on the bitcast-i32 view,
+  lane-concatenated into ONE dot (output-side ``pltpu.roll`` partial
+  sums as the fallback for taps outside the byte-shift range),
 * writes **its own halo**: the grid covers the output's padded row space
   uniformly and the epilogue masks pad rows / margin columns / pad lanes
   to -128 — so the output is a valid packed image with a caller-chosen
