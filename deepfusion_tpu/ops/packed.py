@@ -948,18 +948,18 @@ class PackedConvOp:
         import copy
         check(self.cfg_orig is None,
               "reheight does not support s2d-lowered strided ops")
-        check(len(self.sins) == 1, "reheight needs a single-input op")
         cfg = self.cfg
         check(cfg.oh == cfg.ih and cfg.ow == cfg.iw,
               "reheight requires oh == ih (stride-1 SAME geometry)")
         clone = copy.copy(self)
-        sin = dataclasses.replace(self.sin, h=h)
+        sins = tuple(dataclasses.replace(s, h=h) for s in self.sins)
+        sin = sins[0]
         sout = dataclasses.replace(self.sout, h=h)
         cfg = dataclasses.replace(cfg, ih=h, oh=h)
         cfg = dataclasses.replace(
             cfg, row_tile=_pick_row_tile(cfg, sin, sout, self.pool2))
         clone.cfg = cfg
-        clone.sins, clone.sin, clone.sout = (sin,), sin, sout
+        clone.sins, clone.sin, clone.sout = sins, sin, sout
         if self.ssum is not None:
             clone.ssum = dataclasses.replace(self.ssum, h=h)
         validate_packed_conv(cfg, clone.sins, sout, ssum=clone.ssum)

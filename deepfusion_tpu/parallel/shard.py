@@ -352,25 +352,31 @@ def sp_packed(op, mesh: Mesh, axis: str = "sp",
         if can_split else None
     has_sum = (not is_pair) and op.ssum is not None
     pool2 = local.pool2
+    n_in = 1 if is_pair else len(local.sins)
 
-    def call(arr, sin_use, tr, r0, sum_arr=None, mid_bounds=None):
-        ops_ = tuple(local._cache.for_call(arr))
+    def call(arrs, sins_use, tr, r0, sum_arr=None, mid_bounds=None):
+        ops_ = tuple(local._cache.for_call(arrs[0]))
         if is_pair:
             return _pair_call(
-                local.cfg_a, local.cfg_b, sin_use, local.smid, sout_l,
-                arr, *ops_, split_kh=local.split_kh, pool2=pool2,
-                grid_order="bt", msplit=local.msplit, t_range=tr,
-                nt_tot=nt, row0_off=r0, offs=(off_top, off_bot),
-                mid_bounds=mid_bounds)
+                local.cfg_a, local.cfg_b, sins_use[0], local.smid,
+                sout_l, arrs[0], *ops_, split_kh=local.split_kh,
+                pool2=pool2, grid_order="bt", msplit=local.msplit,
+                t_range=tr, nt_tot=nt, row0_off=r0,
+                offs=(off_top, off_bot), mid_bounds=mid_bounds)
         kw = {}
         if has_sum:
             kw = dict(ssum=local.ssum, sum_arr=sum_arr)
-        return _packed_call(local.cfg, (sin_use,), sout_l, (arr,), *ops_,
+        return _packed_call(local.cfg, sins_use, sout_l, arrs, *ops_,
                             pool2=pool2, t_range=tr, nt_tot=nt,
                             row0_off=r0, **kw)
 
-    def local_fn(x, *maybe_sum):
-        sum_l = maybe_sum[0] if has_sum else None
+    sins_l = (sin_l,) if is_pair else tuple(local.sins)
+    sins_slice = tuple(dataclasses.replace(s, h=L - 2 * halo)
+                       for s in sins_l) if can_split else None
+
+    def local_fn(*args):
+        xs, rest = args[:n_in], args[n_in:]
+        sum_l = rest[0] if has_sum else None
         idx = jax.lax.axis_index(axis)
         fwd = [(i, (i + 1) % n_shard) for i in range(n_shard)]
         bwd = [(i, (i - 1) % n_shard) for i in range(n_shard)]
@@ -384,47 +390,53 @@ def sp_packed(op, mesh: Mesh, axis: str = "sp",
             hi = (local.smid.halo + h_loc
                   + jnp.where(idx < n_shard - 1, ph_b, 0))
             mid_bounds = jnp.stack([lo, hi])
-        # 1. halo slabs in flight (image rows -> neighbor halo bands)
-        top_halo = jax.lax.ppermute(
-            x[:, h_loc * iwp:(h_loc + halo) * iwp], axis, fwd)
-        bot_halo = jax.lax.ppermute(
-            x[:, halo * iwp:2 * halo * iwp], axis, bwd)
-        top_halo = jnp.where(idx == 0, jnp.full_like(top_halo, -128),
-                             top_halo)
-        bot_halo = jnp.where(idx == n_shard - 1,
-                             jnp.full_like(bot_halo, -128), bot_halo)
-        if not can_split:
-            x_ex = (x.at[:, :halo * iwp].set(top_halo)
+
+        def exchange(x):
+            # 1. halo slabs in flight (image rows -> neighbor halo bands)
+            top_halo = jax.lax.ppermute(
+                x[:, h_loc * iwp:(h_loc + halo) * iwp], axis, fwd)
+            bot_halo = jax.lax.ppermute(
+                x[:, halo * iwp:2 * halo * iwp], axis, bwd)
+            top_halo = jnp.where(idx == 0,
+                                 jnp.full_like(top_halo, -128), top_halo)
+            bot_halo = jnp.where(idx == n_shard - 1,
+                                 jnp.full_like(bot_halo, -128), bot_halo)
+            return (x.at[:, :halo * iwp].set(top_halo)
                      .at[:, (halo + h_loc) * iwp:].set(bot_halo))
-            return call(x_ex, sin_l, (0, nt), 0, sum_l, mid_bounds)
-        # 2. interior tiles on the PRE-exchange array (no dependence on
+
+        if not can_split:
+            xs_ex = tuple(exchange(x) for x in xs)
+            return call(xs_ex, sins_l, (0, nt), 0, sum_l, mid_bounds)
+        # 2. interior tiles on the PRE-exchange arrays (no dependence on
         #    the permutes -> overlaps the ICI latency)
-        mid = call(x, sin_l, (1, nt - 1), 0, sum_l, mid_bounds)
-        # 3. boundary tiles on narrow slices of the exchanged array
-        x_ex = (x.at[:, :halo * iwp].set(top_halo)
-                 .at[:, (halo + h_loc) * iwp:].set(bot_halo))
-        top = call(x_ex[:, w0t * iwp:(w0t + L) * iwp], sin_slice,
-                   (0, 1), w0t, sum_l, mid_bounds)
-        bot = call(x_ex[:, w0b * iwp:(w0b + L) * iwp], sin_slice,
-                   (nt - 1, nt), w0b, sum_l, mid_bounds)
+        mid = call(xs, sins_l, (1, nt - 1), 0, sum_l, mid_bounds)
+        # 3. boundary tiles on narrow slices of the exchanged arrays
+        xs_ex = tuple(exchange(x) for x in xs)
+        top = call(tuple(x[:, w0t * iwp:(w0t + L) * iwp] for x in xs_ex),
+                   sins_slice, (0, 1), w0t, sum_l, mid_bounds)
+        bot = call(tuple(x[:, w0b * iwp:(w0b + L) * iwp] for x in xs_ex),
+                   sins_slice, (nt - 1, nt), w0b, sum_l, mid_bounds)
         # 4. stitch the output tiles
         return jnp.concatenate([top, mid, bot], axis=1)
 
     img_spec = P(dp_axis, axis, None)
-    n_args = 1 + (1 if has_sum else 0)
+    n_args = n_in + (1 if has_sum else 0)
     fn = shard_map(local_fn, mesh=mesh, in_specs=(img_spec,) * n_args,
                    out_specs=img_spec, check_vma=False)
 
-    jfn = jax.jit(
-        lambda src, *extra: fn(src, *extra))
+    jfn = jax.jit(lambda *args: fn(*args))
 
     def run(src, sum_src=None):
         check((sum_src is not None) == has_sum,
               "pass sum_src exactly when the op has a sum post-op")
+        srcs = tuple(jnp.asarray(s) for s in src) if n_in > 1 \
+            else (jnp.asarray(src),)
+        check(len(srcs) == n_in, "op expects one array per input spec")
         extra = (jnp.asarray(sum_src),) if has_sum else ()
-        return jfn(jnp.asarray(src), *extra)
+        return jfn(*srcs, *extra)
 
     run.local_spec = sin_l
+    run.local_specs = sins_l
     run.local_out_spec = local.sout_pooled if pool2 else sout_l
     run.n_shards = n_shard
     return run

@@ -631,3 +631,44 @@ def test_sp_packed_split_path_pair(rng):
     assert local.sout.rows // local.cfg_b.row_tile >= 3, \
         "geometry no longer reaches the split path — fix the test"
     _sp_packed_check(rng, pair, src, 2)
+
+
+def test_sp_packed_multi_input_sum(rng):
+    """sp_packed over a branch-merge op: TWO lane-concatenated inputs
+    (each sharded and halo-exchanged) plus a packed sum operand."""
+    import dataclasses
+    from deepfusion_tpu.ops.packed import (PackedConvOp, PackedSpec,
+                                           pack_image, pack_image_sharded,
+                                           unpack_image,
+                                           unpack_image_sharded)
+    from deepfusion_tpu.parallel import sp_packed
+    from deepfusion_tpu.types import dtype as dt
+
+    need_devices(2)
+    mb, hw, ca, cb, oc = 2, 16, 32, 32, 32
+    srca = fill_data((mb, hw, hw, ca), "u8", rng)
+    srcb = fill_data((mb, hw, hw, cb), "u8", rng)
+    wei = fill_data((oc, ca + cb, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    cfg = ConvConfig.make((mb, hw, hw, ca + cb), (oc, ca + cb, 3, 3),
+                          bia.dtype, (1, 1), (1, 1), (mb, hw, hw, oc),
+                          "u8", conv0_scales=(0.05,))
+    cfg = dataclasses.replace(cfg, with_sum=True, sum_dt=dt.u8,
+                              sum_scale=0.7)
+    sa = PackedSpec.make(hw, hw, ca, cp=ca)
+    sb = PackedSpec.make(hw, hw, cb, cp=cb)
+    ssum = PackedSpec.make(hw, hw, oc)
+    op = PackedConvOp(cfg, wei, bia, sin=(sa, sb), sum_spec=ssum)
+    sum_src = fill_data((mb, hw, hw, oc), "u8", rng)
+
+    want = unpack_image(np.asarray(op(
+        (pack_image(srca, sa), pack_image(srcb, sb)),
+        pack_image(sum_src, ssum))), op.sout)
+
+    fn = sp_packed(op, make_mesh(sp=2))
+    xs = tuple(pack_image_sharded(s, spec, 2) for s, spec in
+               ((srca, fn.local_specs[0]), (srcb, fn.local_specs[1])))
+    sum_local = dataclasses.replace(ssum, h=hw // 2)
+    got = fn(xs, pack_image_sharded(sum_src, sum_local, 2))
+    got_img = unpack_image_sharded(np.asarray(got), fn.local_out_spec, 2)
+    np.testing.assert_array_equal(got_img, want)
