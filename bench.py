@@ -506,8 +506,13 @@ def bench_model(args):
     # stages shrink images to 7x7 where halo rows/cols dominate, and
     # the megakernel's per-tile recompute bites at tiny T). Crossover
     # is near w=56; --packed / --dense force either path.
-    use_packed = args.packed or (args.model == "fusionnet"
-                                 and not args.dense)
+    # measured crossovers (artifacts/MODEL_r05.json): packed wins on
+    # FusionNet at the default hw=56 and on VGGFusion from hw~96 up
+    # (19.2k vs 18.2k imgs/s at 112); dense wins on small late-stage
+    # images (VGGFusion@56, ResFusionNet)
+    use_packed = args.packed or (not args.dense and (
+        args.model == "fusionnet"
+        or (args.model == "vggfusion" and (args.model_hw or 56) >= 96)))
     if args.hybrid:
         if not hasattr(net, "hybrid_call"):
             raise SystemExit(f"--hybrid is not defined for {args.model}")

@@ -290,7 +290,7 @@ def _roll_boundary(x, t, nt, off_top, off_bot, iwp, interp):
 def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
                    ssum: PackedSpec = None, pool2: bool = False,
                    t_off: int = 0, nt_tot: int = None, row0_off: int = 0,
-                   sparse_taps: tuple = None):
+                   sparse_taps: tuple = None, emit_acc1: bool = False):
     n_src = len(sins)
     sin = sins[0]
     src_refs, refs = refs[:n_src], refs[n_src:]
@@ -443,6 +443,13 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
                 scale0_ref[...], cfg.conv0_round)
             acc1 = jnp.dot(x1, w1_ref[...], preferred_element_type=jnp.int32)
             acc1 = acc1 + corr1_ref[...]
+            if emit_acc1:
+                # TP mode: emit the PARTIAL s32 1x1 accumulator — the
+                # collective completes the contraction BEFORE the
+                # (nonlinear) final requant (parallel/shard.py
+                # tp_packed_fused, same contract as conv_fused_acc1)
+                out_ref[0] = acc1
+                return
             out_ref[0] = requant_to_u8_centered(
                 acc1, bias1_ref[...] if cfg.conv1_with_bias else None,
                 scale1_ref[...], cfg.conv1_round, zero_mask=maskf,
@@ -459,12 +466,13 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "sins", "sout", "ssum",
                                     "pool2", "t_range", "nt_tot",
-                                    "row0_off", "sparse_taps"))
+                                    "row0_off", "sparse_taps",
+                                    "emit_acc1"))
 def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
                  arrs, *operands, ssum: PackedSpec = None, sum_arr=None,
                  pool2: bool = False, t_range: tuple = None,
                  nt_tot: int = None, row0_off: int = 0,
-                 sparse_taps: tuple = None):
+                 sparse_taps: tuple = None, emit_acc1: bool = False):
     """t_range=(t0, t1): emit only output tiles [t0, t1) of the nt_tot
     tile space (output shape covers just the range; caller concatenates).
     row0_off: the input arrays are row slices starting at that flat row
@@ -513,6 +521,7 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
         m_out = (T // 2) * (iwp // 2)
     else:
         m_out = m
+    out_dt = jnp.int32 if emit_acc1 else jnp.int8
     out_shape = (n, (t1 - t0) * m_out, ocp_out)
     out_spec = pl.BlockSpec((1, m_out, ocp_out), lambda b, t: (b, t, 0),
                             memory_space=pltpu.VMEM)
@@ -528,8 +537,8 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
         functools.partial(_packed_kernel, cfg=cfg, sins=sins, sout=sout,
                           ssum=ssum, pool2=pool2, t_off=t0,
                           nt_tot=nt_tot, row0_off=row0_off,
-                          sparse_taps=sparse_taps),
-        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.int8),
+                          sparse_taps=sparse_taps, emit_acc1=emit_acc1),
+        out_shape=jax.ShapeDtypeStruct(out_shape, out_dt),
         grid=grid,
         in_specs=in_specs,
         out_specs=out_spec,

@@ -250,6 +250,117 @@ def tp_fused_conv(cfg: ConvConfig, wei, bia, wei1x1, bia1x1,
 _conv_call_acc1 = conv_fused_acc1
 
 
+def tp_packed_fused(op, mesh: Mesh, axis: str = "tp",
+                    wire: str = "reduce_scatter"):
+    """Tensor-parallel PACKED fused conv: conv0 oc sharded over `axis`.
+
+    The packed-domain twin of ``tp_fused_conv`` (round-5: completes the
+    parallel x op-family matrix — dp/sp already cover every packed
+    family). Each shard runs the packed kernel in ``emit_acc1`` mode on
+    its conv0 lane slice: conv0 -> requant-to-u8 (per-shard scales) ->
+    partial 1x1 s32 accumulator. The collective completes the int32
+    contraction BEFORE the nonlinear final requant (the TP-correctness
+    subtlety); the post-collective epilogue reproduces the kernel's
+    final stage exactly (same requant chain, pad lanes self-mask via
+    zeroed scales, margin/halo mask applied as a host-built constant),
+    so the result is bit-identical to the single-device op
+    (tests/test_parallel.py).
+
+    wire = "reduce_scatter" (default): psum_scatter the s32 accumulator
+    over the oc1x1 lanes, requant the local lane chunk, all_gather the
+    narrow s8 result. wire = "psum": all-reduce + replicated requant
+    (the bit-exactness oracle). Requires a fused single-input op with
+    no sum post-op and no pool2 epilogue; oc, ocp and (for the rs wire)
+    oc1x1p divisible by the shard count.
+    """
+    from ..ops.packed import PackedConvOp, _packed_call
+    from ..ops.requant import requant
+    from ..types import dtype as _dt
+    import dataclasses
+
+    check(type(op) is PackedConvOp, "tp_packed_fused needs a PackedConvOp")
+    cfg = op.cfg
+    check(cfg.fuse_conv1x1, "tp_packed_fused needs the fused config")
+    check(len(op.sins) == 1 and op.ssum is None and not op.pool2,
+          "tp_packed_fused: single input, no sum post-op, no pool2")
+    check(wire in ("psum", "reduce_scatter"),
+          f"unknown tp wire {wire!r} (psum | reduce_scatter)")
+    n_shard = mesh.shape[axis]
+    check(cfg.oc % n_shard == 0 and cfg.ocp % n_shard == 0,
+          f"oc {cfg.oc}/ocp {cfg.ocp} not divisible by {axis}")
+    if wire == "reduce_scatter":
+        check(cfg.oc1x1p % n_shard == 0,
+              f"oc1x1p {cfg.oc1x1p} not divisible by {axis}")
+    oc_l, ocp_l = cfg.oc // n_shard, cfg.ocp // n_shard
+    cfg_l = dataclasses.replace(cfg, oc=oc_l, ocp=ocp_l)
+    sin, sout = op.sin, op.sout
+
+    # host-side per-shard operand slices (conv0 lanes / w1 rows); each
+    # shard's corr1 is the column sum of ITS w1 rows, so the partial
+    # corrections sum to the global one — bit-exact across the psum
+    w3, corr0, bias0, scale0, w1, corr1, bias1, scale1 = \
+        (np.asarray(a) for a in op._operands)
+    shards = []
+    for d in range(n_shard):
+        sl = slice(d * ocp_l, (d + 1) * ocp_l)
+        w1_d = w1[sl, :]
+        shards.append({
+            "w3": w3[:, sl], "corr0": corr0[sl], "bias0": bias0[sl],
+            "scale0": scale0[sl], "w1": w1_d,
+            "corr1": 128 * w1_d.astype(np.int32).sum(axis=0),
+        })
+    if wire == "reduce_scatter":
+        chunk = cfg.oc1x1p // n_shard
+        for d in range(n_shard):
+            shards[d]["bias1"] = bias1[d * chunk:(d + 1) * chunk]
+            shards[d]["scale1"] = scale1[d * chunk:(d + 1) * chunk]
+    stacked = {k: np.stack([sh[k] for sh in shards]) for k in shards[0]}
+    keys = tuple(shards[0])
+
+    # the final stage's packed-image mask, as a host constant: margin
+    # columns and halo rows force -128; pad lanes come out -128 for
+    # free (zeroed scale1 lanes -> round(0) - 128)
+    pos = np.arange(sout.rows * sout.iwp)
+    col, row = pos % sout.iwp, pos // sout.iwp
+    maskb = ((col >= sout.col_off) & (col < sout.col_off + sout.w)
+             & (row >= sout.halo) & (row < sout.halo + sout.h))
+    maskb = maskb[None, :, None]          # (1, rows*iwp, 1)
+
+    def final(acc, b1, s1):
+        # reproduce requant_to_u8_centered: requant to u8 (relu is
+        # forced for the u8 destination), recenter, mask non-image slots
+        res = requant(acc, b1 if cfg.conv1_with_bias else None, s1,
+                      True, cfg.conv1_round, _dt.u8)
+        out = (res.astype(jnp.int16) - 128).astype(jnp.int8)
+        return jnp.where(maskb, out, np.int8(-128))
+
+    def local_fn(x, *sharded):
+        ops_d = dict(zip(keys, sharded))
+        ops_l = (ops_d["w3"][0], ops_d["corr0"][0], ops_d["bias0"][0],
+                 ops_d["scale0"][0], ops_d["w1"][0], ops_d["corr1"][0],
+                 # bias1/scale1 ride only the requant below; feed
+                 # placeholders so the kernel's operand list lines up
+                 ops_d["corr1"][0] * 0.0, ops_d["corr1"][0] * 0.0)
+        acc1 = _packed_call(cfg_l, op.sins, sout, (x,), *ops_l,
+                            sparse_taps=op.sparse_taps, emit_acc1=True)
+        if wire == "psum":
+            acc1 = jax.lax.psum(acc1, axis)
+            return final(acc1, bias1, scale1)
+        part = jax.lax.psum_scatter(acc1, axis, scatter_dimension=2,
+                                    tiled=True)
+        res = final(part, ops_d["bias1"][0], ops_d["scale1"][0])
+        return jax.lax.all_gather(res, axis, axis=2, tiled=True)
+
+    fn = shard_map(local_fn, mesh=mesh,
+                   in_specs=(P(),) + tuple(P(axis) for _ in keys),
+                   out_specs=P(), check_vma=False)
+
+    def run(src):
+        return fn(jnp.asarray(src), *(stacked[k] for k in keys))
+
+    return jax.jit(run)
+
+
 # ------------------------------------------------------------------ SP
 
 def sp_packed(op, mesh: Mesh, axis: str = "sp",

@@ -672,3 +672,56 @@ def test_sp_packed_multi_input_sum(rng):
     got = fn(xs, pack_image_sharded(sum_src, sum_local, 2))
     got_img = unpack_image_sharded(np.asarray(got), fn.local_out_spec, 2)
     np.testing.assert_array_equal(got_img, want)
+
+
+@pytest.mark.parametrize("wire", ["psum", "reduce_scatter"])
+def test_tp_packed_fused_bit_exact(wire, rng):
+    """Packed-domain TP (round 5): conv0 oc sharded, partial 1x1 s32
+    accumulators completed by the collective BEFORE the final requant,
+    bit-identical to the single-device PackedConvOp."""
+    from deepfusion_tpu.ops.packed import PackedConvOp, pack_image
+    from deepfusion_tpu.parallel.shard import tp_packed_fused
+    from test_packed import build_cfg
+
+    need_devices(2)
+    hw = 12
+    cfg, src, wei, bia, wei1, bia1 = build_cfg(2, 32, hw, 64, 1, oc1=32,
+                                               rng=rng)
+    op = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    x = pack_image(src, op.sin)
+    want = np.asarray(op(x))
+    got = np.asarray(tp_packed_fused(op, make_mesh(tp=2), wire=wire)(x))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_tp_packed_fused_4way_strided_sparse(rng):
+    """TP over the sparse-phase strided packed op (w3 lane slices work
+    for the sparse K layout too)."""
+    from deepfusion_tpu.ops.packed import PackedConvOp, pack_image
+    from deepfusion_tpu.parallel.shard import tp_packed_fused
+    from helpers import fill_data
+
+    need_devices(4)
+    mb, hw, ic, oc, oc1 = 1, 10, 128, 128, 32
+    oh = conv_output_size_local(hw, 3, 2, 1)
+    src = fill_data((mb, hw, hw, ic), "u8", rng)
+    wei = fill_data((oc, ic, 3, 3), "s8", rng)
+    bia = fill_data((oc,), "s32", rng)
+    wei1 = fill_data((oc1, oc, 1, 1), "s8", rng)
+    bia1 = fill_data((oc1,), "s32", rng)
+    cfg = ConvConfig.make(
+        (mb, hw, hw, ic), (oc, ic, 3, 3), bia.dtype, (2, 2), (1, 1),
+        (mb, oh, oh, oc1), "u8", conv0_relu=True, conv0_scales=(0.02,),
+        wei1x1_shape=(oc1, oc, 1, 1), bia1x1_dt=bia1.dtype,
+        conv1_relu=True, conv1_scales=(0.4,))
+    op = PackedConvOp(cfg, wei, bia, wei1, bia1)
+    assert op.sparse_taps is not None
+    x = op.pack_input(src)
+    want = np.asarray(op(x))
+    got = np.asarray(tp_packed_fused(op, make_mesh(tp=4))(x))
+    np.testing.assert_array_equal(got, want)
+
+
+def conv_output_size_local(i, k, s, p):
+    from deepfusion_tpu.utils.mathutil import conv_output_size
+    return conv_output_size(i, k, s, p)
