@@ -692,7 +692,9 @@ def _bench_scaling_op(args, dp, sp, tp):
     from deepfusion_tpu.config import ConvConfig
     from deepfusion_tpu.ops.conv import ConvOp
     from deepfusion_tpu.parallel import make_mesh
-    from deepfusion_tpu.parallel.shard import sp_conv, tp_fused_conv
+    from deepfusion_tpu.parallel.shard import (sp_conv, sp_packed,
+                                               tp_fused_conv,
+                                               tp_packed_fused)
 
     if tp != 1 and (sp != 1 or dp != 1):
         # tp composed with dp/sp: time the SAME three-stage plan the
@@ -714,14 +716,31 @@ def _bench_scaling_op(args, dp, sp, tp):
         wei1x1_shape=(c, c, 1, 1), bia1x1_dt=bia1.dtype,
         conv1_relu=True, conv1_scales=(0.05,))
     mesh = make_mesh(dp=dp, sp=sp, tp=tp)
-    if tp > 1:
+    # --packed routes the sharded step through the PACKED-domain
+    # wrappers (tp_packed_fused / sp_packed) instead of the dense ones
+    if tp > 1 and args.packed:
+        from deepfusion_tpu.ops.packed import PackedConvOp, pack_image
+        pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
+        fn = tp_packed_fused(pop, mesh)
+        x0 = jax.device_put(pack_image(src, pop.sin),
+                            jax.NamedSharding(mesh, P()))
+    elif tp > 1:
         fn = tp_fused_conv(cfg, wei, bia, wei1, bia1, mesh)
-        spec = P()
+        x0 = jax.device_put(src, jax.NamedSharding(mesh, P()))
+    elif args.packed:
+        from deepfusion_tpu.ops.packed import (PackedConvOp,
+                                               pack_image_sharded)
+        pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
+        fn = sp_packed(pop, mesh, dp_axis="dp" if dp > 1 else None)
+        x0 = jax.device_put(
+            pack_image_sharded(src, fn.local_spec, sp),
+            jax.NamedSharding(mesh, P("dp" if dp > 1 else None, "sp",
+                                      None)))
     else:
         op = ConvOp(cfg, wei, bia, wei1, bia1)
         fn = sp_conv(op, mesh, dp_axis="dp" if dp > 1 else None)
-        spec = P("dp" if dp > 1 else None, "sp", None, None)
-    x0 = jax.device_put(src, jax.NamedSharding(mesh, spec))
+        x0 = jax.device_put(src, jax.NamedSharding(
+            mesh, P("dp" if dp > 1 else None, "sp", None, None)))
 
     def builder(sec):
         return {"metric": "fused_conv_imgs_per_sec_per_chip",
