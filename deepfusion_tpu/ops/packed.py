@@ -467,12 +467,16 @@ def _packed_kernel(*refs, cfg: ConvConfig, sins, sout: PackedSpec,
                    static_argnames=("cfg", "sins", "sout", "ssum",
                                     "pool2", "t_range", "nt_tot",
                                     "row0_off", "sparse_taps",
-                                    "emit_acc1"))
+                                    "emit_acc1", "pipeline"))
 def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
                  arrs, *operands, ssum: PackedSpec = None, sum_arr=None,
                  pool2: bool = False, t_range: tuple = None,
                  nt_tot: int = None, row0_off: int = 0,
-                 sparse_taps: tuple = None, emit_acc1: bool = False):
+                 sparse_taps: tuple = None, emit_acc1: bool = False,
+                 pipeline: tuple = None):
+    # pipeline: optional (in_bufs, in_lookahead, out_bufs) Buffered
+    # override for the src/out block specs (0 entries keep the default
+    # double buffering) — a probe knob (scratch/buffer_probe.py)
     """t_range=(t0, t1): emit only output tiles [t0, t1) of the nt_tot
     tile space (output shape covers just the range; caller concatenates).
     row0_off: the input arrays are row slices starting at that flat row
@@ -491,8 +495,14 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
     t0, t1 = t_range if t_range is not None else (0, sout.rows // T)
     grid = (n, t1 - t0)
 
+    in_mode = out_mode = None
+    if pipeline is not None:
+        ib, ila, ob = pipeline
+        in_mode = pl.Buffered(ib, use_lookahead=bool(ila)) if ib else None
+        out_mode = pl.Buffered(ob) if ob else None
     src_specs = [pl.BlockSpec((1, s.rows * iwp, s.cp),
                               lambda b, t: (b, 0, 0),
+                              pipeline_mode=in_mode,
                               memory_space=pltpu.VMEM) for s in sins]
     w3_spec = pl.BlockSpec((k_dim, cfg.ocp), lambda b, t: (0, 0),
                            memory_space=pltpu.VMEM)
@@ -524,6 +534,7 @@ def _packed_call(cfg: ConvConfig, sins, sout: PackedSpec,
     out_dt = jnp.int32 if emit_acc1 else jnp.int8
     out_shape = (n, (t1 - t0) * m_out, ocp_out)
     out_spec = pl.BlockSpec((1, m_out, ocp_out), lambda b, t: (b, t, 0),
+                            pipeline_mode=out_mode,
                             memory_space=pltpu.VMEM)
 
     flops = 2 * m * k_dim * cfg.ocp
