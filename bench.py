@@ -700,6 +700,11 @@ def _bench_scaling_op(args, dp, sp, tp):
         # tp composed with dp/sp: time the SAME three-stage plan the
         # driver dryrun proves (parallel/plan.py) — one harness runs
         # every mesh the dryrun compiles (VERDICT r4 weak #5)
+        if args.packed:
+            raise SystemExit("--packed applies to single-axis sp/tp "
+                             "meshes; the composed dp x sp x tp mesh "
+                             "times the fixed three-stage plan (which "
+                             "already includes the sp_packed stage)")
         return _bench_scaling_plan(args, dp, sp, tp)
     n_chips = dp * sp * tp
     hw, c = 128, 256            # ih divisible by sp; oc1x1 == ic chains
@@ -716,6 +721,7 @@ def _bench_scaling_op(args, dp, sp, tp):
         wei1x1_shape=(c, c, 1, 1), bia1x1_dt=bia1.dtype,
         conv1_relu=True, conv1_scales=(0.05,))
     mesh = make_mesh(dp=dp, sp=sp, tp=tp)
+    dp_ax = "dp" if dp > 1 else None
     # --packed routes the sharded step through the PACKED-domain
     # wrappers (tp_packed_fused / sp_packed) instead of the dense ones
     if tp > 1 and args.packed:
@@ -731,16 +737,15 @@ def _bench_scaling_op(args, dp, sp, tp):
         from deepfusion_tpu.ops.packed import (PackedConvOp,
                                                pack_image_sharded)
         pop = PackedConvOp(cfg, wei, bia, wei1, bia1)
-        fn = sp_packed(pop, mesh, dp_axis="dp" if dp > 1 else None)
+        fn = sp_packed(pop, mesh, dp_axis=dp_ax)
         x0 = jax.device_put(
             pack_image_sharded(src, fn.local_spec, sp),
-            jax.NamedSharding(mesh, P("dp" if dp > 1 else None, "sp",
-                                      None)))
+            jax.NamedSharding(mesh, P(dp_ax, "sp", None)))
     else:
         op = ConvOp(cfg, wei, bia, wei1, bia1)
-        fn = sp_conv(op, mesh, dp_axis="dp" if dp > 1 else None)
+        fn = sp_conv(op, mesh, dp_axis=dp_ax)
         x0 = jax.device_put(src, jax.NamedSharding(
-            mesh, P("dp" if dp > 1 else None, "sp", None, None)))
+            mesh, P(dp_ax, "sp", None, None)))
 
     def builder(sec):
         return {"metric": "fused_conv_imgs_per_sec_per_chip",

@@ -459,8 +459,6 @@ def sp_packed(op, mesh: Mesh, axis: str = "sp",
     # nonnegative doctored heights
     can_split = (btiles == [0, nt - 1] and nt >= 3
                  and L - 2 * halo >= 0)
-    sin_slice = dataclasses.replace(sin_l, h=L - 2 * halo) \
-        if can_split else None
     has_sum = (not is_pair) and op.ssum is not None
     pool2 = local.pool2
     n_in = 1 if is_pair else len(local.sins)
@@ -502,12 +500,19 @@ def sp_packed(op, mesh: Mesh, axis: str = "sp",
                   + jnp.where(idx < n_shard - 1, ph_b, 0))
             mid_bounds = jnp.stack([lo, hi])
 
-        def exchange(x):
-            # 1. halo slabs in flight (image rows -> neighbor halo bands)
+        # 1. halo slabs IN FLIGHT: issue every ppermute FIRST, before
+        #    the interior kernel is traced, so the ICI transfers start
+        #    ahead of the MXU bulk even under a conservative scheduler
+        #    (trace order is the overlap contract, as in sp_conv)
+        def start_exchange(x):
             top_halo = jax.lax.ppermute(
                 x[:, h_loc * iwp:(h_loc + halo) * iwp], axis, fwd)
             bot_halo = jax.lax.ppermute(
                 x[:, halo * iwp:2 * halo * iwp], axis, bwd)
+            return top_halo, bot_halo
+
+        def land_exchange(x, halos):
+            top_halo, bot_halo = halos
             top_halo = jnp.where(idx == 0,
                                  jnp.full_like(top_halo, -128), top_halo)
             bot_halo = jnp.where(idx == n_shard - 1,
@@ -515,14 +520,16 @@ def sp_packed(op, mesh: Mesh, axis: str = "sp",
             return (x.at[:, :halo * iwp].set(top_halo)
                      .at[:, (halo + h_loc) * iwp:].set(bot_halo))
 
+        in_flight = [start_exchange(x) for x in xs]
         if not can_split:
-            xs_ex = tuple(exchange(x) for x in xs)
+            xs_ex = tuple(land_exchange(x, h) for x, h in
+                          zip(xs, in_flight))
             return call(xs_ex, sins_l, (0, nt), 0, sum_l, mid_bounds)
         # 2. interior tiles on the PRE-exchange arrays (no dependence on
         #    the permutes -> overlaps the ICI latency)
         mid = call(xs, sins_l, (1, nt - 1), 0, sum_l, mid_bounds)
         # 3. boundary tiles on narrow slices of the exchanged arrays
-        xs_ex = tuple(exchange(x) for x in xs)
+        xs_ex = tuple(land_exchange(x, h) for x, h in zip(xs, in_flight))
         top = call(tuple(x[:, w0t * iwp:(w0t + L) * iwp] for x in xs_ex),
                    sins_slice, (0, 1), w0t, sum_l, mid_bounds)
         bot = call(tuple(x[:, w0b * iwp:(w0b + L) * iwp] for x in xs_ex),

@@ -459,10 +459,30 @@ def test_three_stage_plan_mesh_invariant(rng):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
-def _sp_packed_check(rng, op, src, n_shard, dp=1, sum_src=None):
+def _count_pallas_calls(jx):
+    """Recursively count pallas_call eqns in a (Closed)Jaxpr."""
+    jx = getattr(jx, "jaxpr", jx)
+    n = 0
+    for eqn in jx.eqns:
+        if eqn.primitive.name == "pallas_call":
+            n += 1
+        for v in eqn.params.values():
+            vs = v if isinstance(v, (tuple, list)) else (v,)
+            for u in vs:
+                if hasattr(u, "jaxpr") or hasattr(u, "eqns"):
+                    n += _count_pallas_calls(u)
+    return n
+
+
+def _sp_packed_check(rng, op, src, n_shard, dp=1, sum_src=None,
+                     expect_split=False):
     """sp_packed(op) over n_shard shards must reproduce the single-device
     op's image rows exactly (the sharded local-packed format drops
-    nothing but interior halo bands, which hold -128 by contract)."""
+    nothing but interior halo bands, which hold -128 by contract).
+    expect_split: additionally assert the interior/boundary OVERLAP
+    SPLIT engaged (>= 3 pallas calls in the traced program) — the
+    split-path tests must not silently degrade to the full-exchange
+    call (r5 review)."""
     from deepfusion_tpu.ops.packed import (pack_image, pack_image_sharded,
                                            unpack_image,
                                            unpack_image_sharded)
@@ -480,6 +500,9 @@ def _sp_packed_check(rng, op, src, n_shard, dp=1, sum_src=None):
     mesh = make_mesh(dp=dp, sp=n_shard)
     fn = sp_packed(op, mesh, dp_axis="dp" if dp > 1 else None)
     xs = pack_image_sharded(src, fn.local_spec, n_shard)
+    if expect_split:
+        npc = _count_pallas_calls(jax.make_jaxpr(lambda a: fn(a))(xs))
+        assert npc >= 3, f"overlap split did not engage ({npc} calls)"
     if sum_src is not None:
         from dataclasses import replace
         sum_local = replace(op.ssum, h=op.ssum.h // n_shard)
@@ -594,7 +617,6 @@ def test_sp_packed_split_path_conv(rng):
     takes the t_range/row0_off sliced-boundary path instead of the
     single full-exchange call (r5 review: every other suite geometry
     lands nt <= 2 and never reached this machinery)."""
-    import deepfusion_tpu.parallel.shard as shard_mod
     from deepfusion_tpu.ops.packed import PackedConvOp, PackedSpec
     from helpers import fill_data
 
@@ -610,7 +632,7 @@ def test_sp_packed_split_path_conv(rng):
     local = op.reheight(hw // 2)
     assert local.sout.rows // local.cfg.row_tile >= 3, \
         "geometry no longer reaches the split path — fix the test"
-    _sp_packed_check(rng, op, src, 2)
+    _sp_packed_check(rng, op, src, 2, expect_split=True)
 
 
 def test_sp_packed_split_path_pair(rng):
@@ -630,7 +652,7 @@ def test_sp_packed_split_path_pair(rng):
     local = pair.reheight(hw // 2)
     assert local.sout.rows // local.cfg_b.row_tile >= 3, \
         "geometry no longer reaches the split path — fix the test"
-    _sp_packed_check(rng, pair, src, 2)
+    _sp_packed_check(rng, pair, src, 2, expect_split=True)
 
 
 def test_sp_packed_multi_input_sum(rng):
