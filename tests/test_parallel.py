@@ -747,3 +747,79 @@ def test_tp_packed_fused_4way_strided_sparse(rng):
 def conv_output_size_local(i, k, s, p):
     from deepfusion_tpu.utils.mathutil import conv_output_size
     return conv_output_size(i, k, s, p)
+
+
+def test_sp_packed_overlap_trace_order(rng):
+    """The halo ppermutes must be ISSUED before the interior Pallas call
+    in trace order (the overlap contract; a refactor this round briefly
+    traced the interior call first — r5 review). Walks the shard_map
+    body: in split mode, both ppermutes precede the first pallas_call."""
+    from deepfusion_tpu.ops.packed import (PackedConvOp, PackedSpec,
+                                           pack_image_sharded)
+    from deepfusion_tpu.parallel import sp_packed
+    from helpers import fill_data
+
+    need_devices(2)
+    hw = 32
+    src = fill_data((1, hw, hw, 32), "u8", rng)
+    wei = fill_data((32, 32, 3, 3), "s8", rng)
+    bia = fill_data((32,), "s32", rng)
+    cfg = ConvConfig.make((1, hw, hw, 32), (32, 32, 3, 3), bia.dtype,
+                          (1, 1), (1, 1), (1, hw, hw, 32), "u8",
+                          conv0_relu=True, conv0_scales=(0.02,))
+    sin = PackedSpec.make(hw, hw, 32, halo=1, col_off=1, iwp=1024)
+    op = PackedConvOp(cfg, wei, bia, sin=sin)
+    fn = sp_packed(op, make_mesh(sp=2))
+    xs = pack_image_sharded(src, fn.local_spec, 2)
+    jaxpr = jax.make_jaxpr(lambda a: fn(a))(xs)
+
+    def find_shmap(jx):
+        jx = getattr(jx, "jaxpr", jx)
+        for eqn in jx.eqns:
+            if eqn.primitive.name == "shard_map":
+                return eqn.params["jaxpr"]
+            for v in eqn.params.values():
+                if hasattr(v, "jaxpr") or hasattr(v, "eqns"):
+                    r = find_shmap(v)
+                    if r is not None:
+                        return r
+        return None
+
+    body = getattr(find_shmap(jaxpr), "jaxpr", find_shmap(jaxpr))
+    assert body is not None
+
+    def order_of(jx, name, which="first"):
+        jx = getattr(jx, "jaxpr", jx)
+        idx = []
+        for i, eqn in enumerate(jx.eqns):
+            found = eqn.primitive.name == name
+            if not found:
+                for v in eqn.params.values():
+                    vs = v if isinstance(v, (tuple, list)) else (v,)
+                    for u in vs:
+                        if (hasattr(u, "jaxpr") or hasattr(u, "eqns")) \
+                                and _count_prim(u, name):
+                            found = True
+            if found:
+                idx.append(i)
+        return idx
+
+    def _count_prim(jx, name):
+        jx = getattr(jx, "jaxpr", jx)
+        n = 0
+        for eqn in jx.eqns:
+            if eqn.primitive.name == name:
+                n += 1
+            for v in eqn.params.values():
+                vs = v if isinstance(v, (tuple, list)) else (v,)
+                for u in vs:
+                    if hasattr(u, "jaxpr") or hasattr(u, "eqns"):
+                        n += _count_prim(u, name)
+        return n
+
+    perms = order_of(body, "ppermute")
+    pallas = order_of(body, "pallas_call")
+    assert len(perms) >= 2 and pallas, (perms, pallas)
+    assert max(perms[:2]) < pallas[0], \
+        f"ppermutes at {perms} must precede the interior pallas_call " \
+        f"at {pallas[0]}"
