@@ -98,6 +98,50 @@ void df_prep_src(const uint8_t* in, int64_t n, int64_t ih, int64_t iw,
   }
 }
 
+// u8 NHWC -> the PACKED-DOMAIN image: (n, (h+2*halo)*iwp, cp) centered s8
+// with every non-image slot -128 (ops/packed.py pack_image — the
+// model-boundary pack of the layout-persistent chain).
+void df_pack_image(const uint8_t* in, int64_t n, int64_t h, int64_t w,
+                   int64_t c, int64_t cp, int64_t halo, int64_t col_off,
+                   int64_t iwp, int8_t* out) {
+  const int64_t rows = h + 2 * halo;
+  memset(out, 0x80, (size_t)(n * rows * iwp * cp));   // 0x80 == -128
+  for (int64_t b = 0; b < n; ++b) {
+    for (int64_t r = 0; r < h; ++r) {
+      const uint8_t* src_row = in + ((b * h + r) * w) * c;
+      int8_t* dst_row =
+          out + ((b * rows + (r + halo)) * iwp + col_off) * cp;
+      for (int64_t x = 0; x < w; ++x) {
+        const uint8_t* sp = src_row + x * c;
+        int8_t* dp = dst_row + x * cp;
+        for (int64_t k = 0; k < c; ++k)
+          dp[k] = (int8_t)((int32_t)sp[k] - 128);
+      }
+    }
+  }
+}
+
+// Space-to-depth regroup of a (conv-padded) u8 image:
+// (n, ih2*sh, iw2*sw, ic) -> (n, ih2, iw2, sh*sw*ic) with channel group
+// g = (row%sh)*sw + (col%sw) (ops/layout.py _s2d_regroup — the strided
+// conv's model-boundary prep).
+void df_s2d_regroup(const uint8_t* in, int64_t n, int64_t ih2, int64_t iw2,
+                    int64_t sh, int64_t sw, int64_t ic, uint8_t* out) {
+  const int64_t ih = ih2 * sh, iw = iw2 * sw, c2 = sh * sw * ic;
+  for (int64_t b = 0; b < n; ++b) {
+    for (int64_t r = 0; r < ih; ++r) {
+      const int64_t r2 = r / sh, a = r % sh;
+      const uint8_t* src_row = in + ((b * ih + r) * iw) * ic;
+      for (int64_t x2 = 0; x2 < iw2; ++x2) {
+        uint8_t* dst =
+            out + ((b * ih2 + r2) * iw2 + x2) * c2 + a * sw * ic;
+        // sw consecutive source columns land in sw*ic consecutive lanes
+        memcpy(dst, src_row + (x2 * sw) * ic, (size_t)(sw * ic));
+      }
+    }
+  }
+}
+
 // ---------------------------------------------------------------- sched
 
 // Near-equal contiguous work split (util/deepfusion_utils.h:190-208).
@@ -136,6 +180,6 @@ int df_nd_iterator_step(int64_t* coords, const int64_t* dims, int64_t ndims) {
   return 0;
 }
 
-int df_runtime_version() { return 1; }
+int df_runtime_version() { return 2; }
 
 }  // extern "C"

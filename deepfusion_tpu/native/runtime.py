@@ -52,6 +52,8 @@ def _load():
         lib.df_pack_1x1_weights.argtypes = [i8p] + [i64] * 4 + [i8p]
         lib.df_u8_shift_correction.argtypes = [i8p, i64, i64, i32p]
         lib.df_prep_src.argtypes = [u8p] + [i64] * 8 + [i8p]
+        lib.df_pack_image.argtypes = [u8p] + [i64] * 8 + [i8p]
+        lib.df_s2d_regroup.argtypes = [u8p] + [i64] * 6 + [u8p]
         lib.df_balance211.argtypes = [i64, i64, i64,
                                       ctypes.POINTER(ctypes.c_int64),
                                       ctypes.POINTER(ctypes.c_int64)]
@@ -126,6 +128,39 @@ def prep_src(src_u8: np.ndarray, ph: int, pw: int, icp: int) -> np.ndarray:
     out = np.empty((n, ih + 2 * ph, owp, icp), dtype=np.int8)
     lib.df_prep_src(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                     n, ih, iw, ic, ph, pw, owp, icp, _i8p(out))
+    return out
+
+
+def pack_image(src_u8: np.ndarray, spec) -> np.ndarray:
+    """Native model-boundary pack into the packed domain
+    (ops.packed.pack_image twin; spec is a PackedSpec)."""
+    lib = _load()
+    src = np.ascontiguousarray(src_u8, dtype=np.uint8)
+    n, h, w, c = src.shape
+    if lib is None:
+        from ..ops.packed import pack_image as py
+        return py(src, spec)
+    out = np.empty((n, spec.rows * spec.iwp, spec.cp), dtype=np.int8)
+    lib.df_pack_image(src.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                      n, h, w, c, spec.cp, spec.halo, spec.col_off,
+                      spec.iwp, _i8p(out))
+    return out
+
+
+def s2d_regroup(x_u8: np.ndarray, ih2: int, iw2: int, sh: int, sw: int,
+                ic: int) -> np.ndarray:
+    """Native space-to-depth regroup (ops.layout._s2d_regroup twin) —
+    the strided conv's model-boundary prep."""
+    lib = _load()
+    x = np.ascontiguousarray(x_u8, dtype=np.uint8)
+    n = x.shape[0]
+    if lib is None:
+        from ..ops.layout import _s2d_regroup
+        return _s2d_regroup(x, ih2, iw2, sh, sw, ic, np)
+    out = np.empty((n, ih2, iw2, sh * sw * ic), dtype=np.uint8)
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.df_s2d_regroup(x.ctypes.data_as(u8p), n, ih2, iw2, sh, sw, ic,
+                       out.ctypes.data_as(u8p))
     return out
 
 

@@ -989,12 +989,19 @@ class PackedConvOp:
 
     def pack_input(self, src_u8, xp=np):
         """Model-boundary pack: dense NHWC u8 -> this op's packed input
-        (applies the s2d regroup first for strided configs)."""
+        (applies the s2d regroup first for strided configs). The host
+        (numpy) path routes through the native C++ runtime when built
+        (native/dfruntime.cc df_pack_image / df_s2d_regroup — the
+        data-loader role of the reference's host runtime); the traced
+        (jnp) path stays pure XLA."""
         from . import layout
         check(len(self.sins) == 1,
               "pack_input only supports single-input ops")
         if self.cfg_orig is not None:
             src_u8 = layout.s2d_image_u8(self.cfg_orig, src_u8, xp=xp)
+        if xp is np:
+            from ..native import runtime
+            return runtime.pack_image(np.asarray(src_u8), self.sin)
         return pack_image(src_u8, self.sin, xp=xp)
 
     def __call__(self, packed_arr, sum_arr=None, operands=None):

@@ -51,3 +51,22 @@ def test_balance211_matches(native):
             for m in range(team):
                 assert native.balance211(amount, team, m) == \
                     py_balance211(amount, team, m)
+
+
+def test_pack_image_matches(native, rng):
+    from deepfusion_tpu.native import runtime
+    from deepfusion_tpu.ops.packed import PackedSpec, pack_image
+    src = rng.integers(0, 256, (2, 9, 11, 5), dtype=np.uint8)
+    spec = PackedSpec.make(9, 11, 5, halo=2, col_off=3)
+    got = runtime.pack_image(src, spec)
+    np.testing.assert_array_equal(got, pack_image(src, spec))
+
+
+def test_s2d_regroup_matches(native, rng):
+    from deepfusion_tpu.native import runtime
+    from deepfusion_tpu.ops.layout import _s2d_regroup
+    sh, sw, ic, ih2, iw2 = 2, 3, 5, 4, 6
+    x = rng.integers(0, 256, (2, ih2 * sh, iw2 * sw, ic), dtype=np.uint8)
+    got = runtime.s2d_regroup(x, ih2, iw2, sh, sw, ic)
+    np.testing.assert_array_equal(got, _s2d_regroup(x, ih2, iw2, sh, sw,
+                                                    ic, np))
