@@ -643,6 +643,9 @@ class PackedConvPairOp:
                           iwp=s.iwp // 2)
 
     def pack_input(self, src_u8, xp=np):
+        if xp is np:
+            from ..native import runtime
+            return runtime.pack_image(np.asarray(src_u8), self.sin)
         return pack_image(src_u8, self.sin, xp=xp)
 
     def reheight(self, h: int) -> "PackedConvPairOp":
