@@ -100,3 +100,37 @@ def test_single_submit_picks_least_loaded():
     with srv:
         assert f1.result(timeout=30).shape == (2,)
         assert f2.result(timeout=30).shape == (2,)
+
+
+def test_server_over_sharded_model():
+    """The batcher composes with the parallel layer: replicas are
+    dp-sharded model callables over the device mesh — the serving story
+    for a multi-chip host (continuous batching on host 0, shard_map
+    under each flush)."""
+    import jax
+
+    from deepfusion_tpu.models import FusionNet, FusionNetConfig
+    from deepfusion_tpu.parallel import make_mesh
+    from jax.sharding import PartitionSpec as P
+
+    if len(jax.devices()) < 2:
+        import pytest
+        pytest.skip("needs 2 devices")
+    # the model is built at the PER-SHARD batch (the bench_scaling
+    # composition); the server flushes global batches of 2
+    net = FusionNet(FusionNetConfig(batch=1, hw=28, in_ch=32, width=64,
+                                    num_classes=16))
+    mesh = make_mesh(dp=2)
+    fwd = jax.jit(jax.shard_map(net.__call__, mesh=mesh,
+                                in_specs=P("dp", None, None, None),
+                                out_specs=P("dp", None),
+                                check_vma=False))
+    x0, x1 = (net.example_input(np.random.default_rng(i))[0]
+              for i in range(2))
+    want = np.stack([np.asarray(net(x[None]))[0] for x in (x0, x1)])
+    from deepfusion_tpu.serving import BatchServer
+    with BatchServer(fwd, batch=2,
+                     input_shape=net.input_shape[1:]) as server:
+        futs = [server.submit(x) for x in (x0, x1)]
+        outs = [np.asarray(f.result()) for f in futs]
+    np.testing.assert_array_equal(np.stack(outs), want)
