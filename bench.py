@@ -301,7 +301,7 @@ def bench_fused(args):
             return c.at[(0,) * c.ndim].add(bump)
 
     sec = timeit_chain(step, x, args.iters, aux=aux)
-    if 100.0 * (2 * macs / sec) / peak > 100.0:
+    if builder(sec)["value"] > 100.0:
         # a physically impossible draw (above hardware peak) is a
         # protocol fluke — one session measured 112% when a host stall
         # inflated the short chain's wall time; re-measure once
@@ -406,7 +406,7 @@ def bench_conv(args):
 
     _PARTIAL["builder"] = builder
     sec = timeit_chain(step, x, args.iters, aux=aux)
-    if 100.0 * (2 * n * oh * oh * 9 * ic * oc / sec) / peak > 100.0:
+    if builder(sec)["value"] > 100.0:
         print("# >100% of peak measured: protocol fluke, re-measuring",
               file=sys.stderr)
         sec = timeit_chain(step, x, args.iters, aux=aux)

@@ -17,6 +17,7 @@ from ..utils.logger import info, warning
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_HERE, "libdfruntime.so")
+_REQUIRED_VERSION = 2     # bump with dfruntime.cc's df_runtime_version
 _lock = threading.Lock()
 _lib = None
 _tried = False
@@ -42,7 +43,24 @@ def _load():
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError as e:  # pragma: no cover
+            lib.df_runtime_version.restype = ctypes.c_int
+            if lib.df_runtime_version() < _REQUIRED_VERSION:
+                # stale prebuilt library from an older source revision:
+                # rebuild in place (the .so is gitignored and lazy-built,
+                # so a pulled update must not crash on missing symbols)
+                info("native runtime v%d < required v%d: rebuilding",
+                     lib.df_runtime_version(), _REQUIRED_VERSION)
+                # dlopen caches by path: the stale mapping must be
+                # dlclosed or the re-CDLL returns the same old module
+                handle = lib._handle
+                del lib
+                ctypes.CDLL(None).dlclose(ctypes.c_void_p(handle))
+                os.remove(_LIB_PATH)
+                if not _build():
+                    return None
+                lib = ctypes.CDLL(_LIB_PATH)
+                lib.df_runtime_version.restype = ctypes.c_int
+        except (OSError, AttributeError) as e:  # pragma: no cover
             warning("native runtime load failed: %s", e)
             return None
         i64, i32p, i8p, u8p = (ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
@@ -134,9 +152,12 @@ def prep_src(src_u8: np.ndarray, ph: int, pw: int, icp: int) -> np.ndarray:
 def pack_image(src_u8: np.ndarray, spec) -> np.ndarray:
     """Native model-boundary pack into the packed domain
     (ops.packed.pack_image twin; spec is a PackedSpec)."""
+    from ..utils.logger import check
     lib = _load()
     src = np.ascontiguousarray(src_u8, dtype=np.uint8)
     n, h, w, c = src.shape
+    check((h, w, c) == (spec.h, spec.w, spec.c),
+          "pack_image: shape does not match spec")
     if lib is None:
         from ..ops.packed import pack_image as py
         return py(src, spec)
@@ -151,9 +172,12 @@ def s2d_regroup(x_u8: np.ndarray, ih2: int, iw2: int, sh: int, sw: int,
                 ic: int) -> np.ndarray:
     """Native space-to-depth regroup (ops.layout._s2d_regroup twin) —
     the strided conv's model-boundary prep."""
+    from ..utils.logger import check
     lib = _load()
     x = np.ascontiguousarray(x_u8, dtype=np.uint8)
     n = x.shape[0]
+    check(x.shape[1:] == (ih2 * sh, iw2 * sw, ic),
+          "s2d_regroup: shape does not match the s2d geometry")
     if lib is None:
         from ..ops.layout import _s2d_regroup
         return _s2d_regroup(x, ih2, iw2, sh, sw, ic, np)

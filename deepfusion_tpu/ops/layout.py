@@ -218,6 +218,11 @@ def s2d_image_u8(cfg: ConvConfig, src_u8, xp=np):
     x = src[:, :take_h, :take_w, :]
     x = xp.pad(x, ((0, 0), (cfg.ph, hp - cfg.ph - take_h),
                    (cfg.pw, wp - cfg.pw - take_w), (0, 0)))
+    if xp is np:
+        # host path: the native C++ regroup when the runtime is built
+        # (native/dfruntime.cc df_s2d_regroup; numpy fallback inside)
+        from ..native import runtime
+        return runtime.s2d_regroup(x, cfg2.ih, cfg2.iw, sh, sw, ic)
     return _s2d_regroup(x, cfg2.ih, cfg2.iw, sh, sw, ic, xp)
 
 

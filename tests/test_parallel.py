@@ -459,19 +459,22 @@ def test_three_stage_plan_mesh_invariant(rng):
     np.testing.assert_array_equal(outs[0], outs[2])
 
 
-def _count_pallas_calls(jx):
-    """Recursively count pallas_call eqns in a (Closed)Jaxpr."""
+def _count_prims(jx, name="pallas_call"):
+    """Recursively count eqns of a primitive in a (Closed)Jaxpr."""
     jx = getattr(jx, "jaxpr", jx)
     n = 0
     for eqn in jx.eqns:
-        if eqn.primitive.name == "pallas_call":
+        if eqn.primitive.name == name:
             n += 1
         for v in eqn.params.values():
             vs = v if isinstance(v, (tuple, list)) else (v,)
             for u in vs:
                 if hasattr(u, "jaxpr") or hasattr(u, "eqns"):
-                    n += _count_pallas_calls(u)
+                    n += _count_prims(u, name)
     return n
+
+
+_count_pallas_calls = _count_prims
 
 
 def _sp_packed_check(rng, op, src, n_shard, dp=1, sum_src=None,
@@ -788,7 +791,7 @@ def test_sp_packed_overlap_trace_order(rng):
     body = getattr(find_shmap(jaxpr), "jaxpr", find_shmap(jaxpr))
     assert body is not None
 
-    def order_of(jx, name, which="first"):
+    def order_of(jx, name):
         jx = getattr(jx, "jaxpr", jx)
         idx = []
         for i, eqn in enumerate(jx.eqns):
@@ -798,24 +801,11 @@ def test_sp_packed_overlap_trace_order(rng):
                     vs = v if isinstance(v, (tuple, list)) else (v,)
                     for u in vs:
                         if (hasattr(u, "jaxpr") or hasattr(u, "eqns")) \
-                                and _count_prim(u, name):
+                                and _count_prims(u, name):
                             found = True
             if found:
                 idx.append(i)
         return idx
-
-    def _count_prim(jx, name):
-        jx = getattr(jx, "jaxpr", jx)
-        n = 0
-        for eqn in jx.eqns:
-            if eqn.primitive.name == name:
-                n += 1
-            for v in eqn.params.values():
-                vs = v if isinstance(v, (tuple, list)) else (v,)
-                for u in vs:
-                    if hasattr(u, "jaxpr") or hasattr(u, "eqns"):
-                        n += _count_prim(u, name)
-        return n
 
     perms = order_of(body, "ppermute")
     pallas = order_of(body, "pallas_call")
