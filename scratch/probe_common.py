@@ -69,7 +69,7 @@ N, HW, C = 8, 126, 256
 KH = KW = 3
 
 
-def flagship_op(rng=None, row_tile=None, erode=False):
+def flagship_op(rng=None, row_tile=None, erode=False, terminal=False):
     """The production single fused op at the flagship shape.
 
     erode=True uses the roll-free erosion geometry (sin halo = halo_out
@@ -92,6 +92,10 @@ def flagship_op(rng=None, row_tile=None, erode=False):
     if erode:
         kw = dict(sin=PackedSpec.make(HW, HW, C, halo=2, col_off=1),
                   halo_out=1, col_off_out=1)
+    if terminal:
+        # halo_out=0/col_off_out=0: a terminal-layer output (feeds a
+        # pool/head, not another 3x3) — 126 output rows instead of 128
+        kw = dict(halo_out=0, col_off_out=0)
     op = PackedConvOp(cfg, wei, bia, wei1, bia1, **kw)
     if row_tile is not None:
         import dataclasses

@@ -20,13 +20,18 @@ if __name__ == "__main__":
     ap.add_argument("--iters", type=int, default=96)
     ap.add_argument("--erode", action="store_true",
                     help="roll-free erosion geometry (halo 2 -> 1)")
+    ap.add_argument("--terminal", action="store_true",
+                    help="halo_out=0 / col_off_out=0 terminal-layer "
+                         "output (1.6% fewer rows+bytes; NOT chainable "
+                         "into another 3x3 — informational)")
     ap.add_argument("--carry", action="store_true",
                     help="producer->consumer chain (the deployment "
                          "protocol) instead of the fresh-inputs loop")
     a = ap.parse_args()
     results = {}
     for T in [int(t) for t in a.tiles.split(",")]:
-        op, src = flagship_op(row_tile=T, erode=a.erode)
+        op, src = flagship_op(row_tile=T, erode=a.erode,
+                              terminal=a.terminal)
         x = jax.device_put(pack_image(src, op.sin))
         aux = tuple(jax.device_put(np.asarray(v)) for v in op._operands)
 
