@@ -15,7 +15,11 @@ from probe_common import run_consumers
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--variants",
-                    default="carry,fresh,bigblk,mdma,ms,mso,mdma1")
+                    default="carry,fresh,bigblk,mdma,ms,mso,mdma1",
+                    help="also: ab2 (two in-place-bumped buffers — the "
+                         "carry-penalty decomposition) and alt (tuple-"
+                         "swap alternation; confounded by rotation "
+                         "copies, kept as the recorded artifact)")
     ap.add_argument("--iters", type=int, default=96)
     a = ap.parse_args()
     run_consumers(a.variants.split(","), iters=a.iters)
