@@ -813,3 +813,33 @@ def test_sp_packed_overlap_trace_order(rng):
     assert max(perms[:2]) < pallas[0], \
         f"ppermutes at {perms} must precede the interior pallas_call " \
         f"at {pallas[0]}"
+
+
+def test_tp_packed_fused_fail_fast(rng):
+    """Unsupported configs reject before compile (util/log.h contract)."""
+    from deepfusion_tpu.ops.packed import PackedConvOp, PackedSpec
+    from deepfusion_tpu.parallel.shard import tp_packed_fused
+    from deepfusion_tpu.utils.logger import CheckError
+    from test_packed import build_cfg
+
+    need_devices(2)
+    mesh = make_mesh(tp=2)
+    # not fused
+    cfg, src, wei, bia, *_ = build_cfg(1, 32, 12, 64, 1, rng=rng)
+    with pytest.raises(CheckError):
+        tp_packed_fused(PackedConvOp(cfg, wei, bia), mesh)
+    # pool2 epilogue
+    cfgf, _, wf, bf, wf1, bf1 = build_cfg(1, 32, 12, 64, 1, oc1=32,
+                                          rng=rng)
+    sin = PackedSpec.make(12, 12, 32, halo=2, col_off=2, iwp=32)
+    pool_op = PackedConvOp(cfgf, wf, bf, wf1, bf1, sin=sin, halo_out=2,
+                           col_off_out=2, pool2=True)
+    with pytest.raises(CheckError):
+        tp_packed_fused(pool_op, mesh)
+    # oc not divisible
+    cfg3, _, w3, b3, w31, b31 = build_cfg(1, 32, 12, 48, 1, oc1=32,
+                                          rng=rng)
+    need_devices(5)
+    with pytest.raises(CheckError):
+        tp_packed_fused(PackedConvOp(cfg3, w3, b3, w31, b31),
+                        make_mesh(tp=5))
