@@ -365,8 +365,10 @@ def bench_conv(args):
     import jax
     import jax.numpy as jnp
 
-    kernel_mode = args.packed and s > 1
+    kernel_mode = args.packed
     if kernel_mode:
+        # stride 1: the layout-persistent packed conv; stride > 1: the
+        # sparse-phase s2d kernel with pack-time regroup
         op = PackedConvOp(cfg, wei, bia)
         x = jax.device_put(op.pack_input(src))
 
@@ -394,10 +396,13 @@ def bench_conv(args):
 
     aux = tuple(jax.device_put(np.asarray(a)) for a in op._operands)
     peak, kind = peak_ops()
-    metric = ("conv3x3_int8_roofline_pct" if s == 1
-              else f"conv3x3_stride{s}_"
-                   f"{'kernel_' if kernel_mode else ''}"
-                   f"int8_roofline_pct")
+    if s == 1:
+        metric = ("conv3x3_packed_int8_roofline_pct" if kernel_mode
+                  else "conv3x3_int8_roofline_pct")
+    else:
+        metric = (f"conv3x3_stride{s}_"
+                  f"{'kernel_' if kernel_mode else ''}"
+                  f"int8_roofline_pct")
 
     def builder(sec):
         pct = 100.0 * (2 * n * oh * oh * 9 * ic * oc / sec) / peak
