@@ -372,10 +372,14 @@ def bench_conv(args):
         op = PackedConvOp(cfg, wei, bia)
         x = jax.device_put(op.pack_input(src))
 
-        def step(x, a):
-            out = op(x, operands=a)
-            bump = out[0, 0, 0].astype(jnp.int8) & 1
-            return x.at[0, 0, 0].add(bump)
+        if s == 1 and args.carry:
+            def step(x, a):
+                return op(x, operands=a)
+        else:
+            def step(x, a):
+                out = op(x, operands=a)
+                bump = out[0, 0, 0].astype(jnp.int8) & 1
+                return x.at[0, 0, 0].add(bump)
     else:
         op = ConvOp(cfg, wei, bia)
         x = jax.device_put(src)
